@@ -1,0 +1,12 @@
+"""Query plans. Importing this package registers every named query."""
+
+from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registration)
+    relational,
+)
+from transilien_api_etl_spark.plans.registry import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    bench_queries,
+    oracle_sql,
+    queries,
+)

@@ -1,0 +1,67 @@
+"""Named-query registry — the single source of truth the driver consumes.
+
+Every implemented operator from SURVEY.md §3 registers here as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) the ANSI/DuckDB oracle SQL the driver hash-compares against.
+
+Conventions (FIXTURES.md "oracle-parity gotchas"):
+- every computed column is aliased identically in Spark and SQL;
+- aggregate doubles are ``round()``-ed (sum order differs between engines);
+- rank/size/int-sum columns are cast so both engines emit BIGINT;
+- every LIMIT query carries a unique tie-break key in its ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    *,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query implementation under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
