@@ -1,0 +1,50 @@
+"""Drive the repo's driver contract end-to-end, as the harness would:
+import __spark_entry__ from a foreign cwd, smoke entry(), then run every
+queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB."""
+import hashlib, sys, time
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as ent
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").config("spark.ui.enabled","false")
+         .config("spark.sql.session.timeZone","America/New_York")  # hostile tz: queries must self-pin UTC
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+df = ent.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
+assert len(rows) > 0
+
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def vhash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(tuple(repr(v) for v in r) for r in pdf.itertuples(index=False))
+    return hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
+
+qs, os_ = ent.queries(), ent.oracle_sql()
+ok = bad = 0
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    spdf = fn(spark, SF).toPandas()
+    if name not in os_:
+        print(f"  rows-only {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]"); ok += 1; continue
+    dpdf = con.execute(os_[name]).df()
+    # normalize timestamps to isoformat strings for hashing
+    import pandas as pd
+    for p in (spdf, dpdf):
+        for c in p.columns:
+            if str(p[c].dtype).startswith("datetime"):
+                p[c] = p[c].astype("datetime64[us]").map(lambda x: x.isoformat())
+    m = (len(spdf)==len(dpdf), sorted(spdf.columns)==sorted(dpdf.columns), vhash(spdf)==vhash(dpdf))
+    status = "MATCH" if all(m) else f"MISMATCH {m}"
+    print(f"  {status} {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+    ok += all(m); bad += not all(m)
+print(f"RESULT: {ok} ok, {bad} mismatched")
+sys.exit(1 if bad else 0)

@@ -96,6 +96,9 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    # timestamp type, so we read it as a raw long (see _EVENTS_RAW below)
+    # and convert to a µs TimestampType in load_table.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -131,8 +134,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Schema for reading events with ts as raw nanos (requires
+# spark.sql.legacy.parquet.nanosAsLong=true).
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_raw_schema() -> T.StructType:
+    return _EVENTS_RAW
+
+
+def _events_ns_to_ts(df: DataFrame) -> DataFrame:
+    """Convert the raw nano-epoch long to a µs TimestampType column.
+
+    Integer division (DIV) — float division would lose precision above
+    2^53 ns (~1970+104 days). Data precision is µs, so this is lossless.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with a declared schema (S1)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, name))
+        return _events_ns_to_ts(raw)
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 

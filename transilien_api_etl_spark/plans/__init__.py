@@ -1,7 +1,9 @@
 """Query plans. Importing this package registers every named query."""
 
 from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registration)
+    events_q,
     relational,
+    windows,
 )
 from transilien_api_etl_spark.plans.registry import (  # noqa: F401
     REGISTRY,

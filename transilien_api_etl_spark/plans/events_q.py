@@ -1,0 +1,236 @@
+"""Event-stream-shaped plans in batch mode — SURVEY.md §3.9 (T2-T6 batch
+twins) and the ETL-domain composites §3.3 J6/J7 (M4).
+
+These are the batch-equivalent forms of the streaming jobs in
+``plans/streaming_q.py`` — Structured Streaming's incremental execution of
+the SAME logical plan makes the batch result the ground truth (SURVEY §6.3).
+
+The as-of and range joins are the reference's signature computation
+(match observed realtime passage ↔ scheduled stop_time, compute delay),
+re-keyed onto the events table: purchase events are "observed", click
+events are the "schedule".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.joins import asof_join, range_join
+from transilien_api_etl_spark.operators.sessionize import sessionize
+from transilien_api_etl_spark.operators.dedup import exact_dedup
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+
+@register(
+    "events_tumbling_1h",
+    doc="Event-time tumbling window aggregation (SURVEY §3 T2): 1h windows × "
+    "event_type. Spark window() start == date_trunc('hour') for aligned "
+    "windows.",
+    tags=("events", "window-agg"),
+    bench=True,
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    doc="Sliding windows (SURVEY §3 T3): 10-minute windows sliding every 5 "
+    "minutes — every event lands in exactly two windows; the oracle "
+    "materializes both via epoch-µs floor arithmetic.",
+    tags=("events", "window-agg"),
+    oracle="""
+WITH ws AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w0
+  FROM events
+), ex AS (
+  SELECT event_type, value, w0 AS window_start FROM ws
+  UNION ALL
+  SELECT event_type, value, w0 - INTERVAL 5 MINUTE FROM ws
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    doc="Gap-based sessionization, 30-minute gap (SURVEY §3 T4 batch oracle): "
+    "lag-gap + running-sum recipe; one shuffle, single Window node.",
+    tags=("events", "session"),
+    bench=True,
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value, min(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_dedup_first",
+    doc="Deterministic keep-first dedup (SURVEY §3 T6/U2 — same passage seen "
+    "in consecutive polls): earliest event per (user, type). dropDuplicates "
+    "is nondeterministic about the survivor; the row_number recipe is not.",
+    tags=("events", "dedup"),
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        exact_dedup(e, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")])
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    doc="As-of join (SURVEY §3 J6 — the reference's observed↔scheduled "
+    "matching): each purchase matched to the latest same-user click at or "
+    "before it; delay = µs gap. Equi key (user_id) bounds fan-out; nearest "
+    "row picked via row_number (oracle: LATERAL ... LIMIT 1).",
+    tags=("events", "asof"),
+    bench=True,
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+""",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        left_keys=["event_id"],
+        direction="backward",
+    )
+    return (
+        matched.select(
+            F.col("l.event_id").alias("event_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("purchase_ts"),
+            F.col("r.event_id").alias("click_event_id"),
+            F.col("r.ts").alias("click_ts"),
+            (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("delay_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    doc="Range/interval join (SURVEY §3 J7 — service-day window containment): "
+    "clicks in the hour before each purchase, per user. Equi key keeps it a "
+    "hash join; the interval predicate filters inside the join.",
+    tags=("events", "range-join"),
+    oracle="""
+SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+""",
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    joined = range_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=-3600,
+        upper_seconds=0,
+        how="left",
+    )
+    return (
+        joined.groupBy(F.col("l.event_id").alias("event_id"))
+        .agg(F.count(F.col("r.event_id")).alias("n_clicks_1h"))
+        .orderBy("event_id")
+    )

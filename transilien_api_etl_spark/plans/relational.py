@@ -229,20 +229,21 @@ def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_anti_no_orders",
-    doc="Left-anti join (NOT EXISTS): customers with no orders — the "
+    doc="Left-anti join (NOT EXISTS): customers with no order over 450k — the "
     "declarative form of the reference's calendar_dates exception logic "
     "(SURVEY §3 J5).",
     tags=("join",),
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
 ORDER BY c_custkey
 """,
 )
 def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -412,19 +413,24 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setop_except",
-    doc="EXCEPT DISTINCT (SURVEY §3 U3): nations with customers but no suppliers.",
+    doc="EXCEPT DISTINCT (SURVEY §3 U3): nations with customers but no "
+    "high-balance (>5000) supplier.",
     tags=("setop",),
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
 ORDER BY nationkey
 """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return cust.subtract(supp).orderBy("nationkey")
 
 

@@ -1,0 +1,169 @@
+"""Window-function plans — SURVEY.md §3.5/§3.6 (W1-W4, O3).
+
+The reference's signature read-path queries ("next N departures per
+station", headways between consecutive trains, rolling delay averages,
+cumulative delay along a trip) re-expressed as Spark window functions over
+the events/orders/part tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.topk import topk_per_group
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+
+@register(
+    "topk_orders_per_customer",
+    doc="Per-group top-k (SURVEY §3 W1/O3 — 'next k departures per station'): "
+    "row_number over (customer, recency) window, rank<=3.",
+    tags=("window", "topk"),
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        topk_per_group(
+            o,
+            ["o_custkey"],
+            [F.desc("o_orderdate"), F.desc("o_orderkey")],
+            k=3,
+        )
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    doc="rank + dense_rank with deterministic tie handling (SURVEY §3 W1): "
+    "parts ranked by retail price within brand.",
+    tags=("window",),
+    oracle="""
+SELECT p_brand, p_partkey,
+       CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+FROM part
+ORDER BY p_brand, rnk, p_partkey
+""",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+@register(
+    "window_lag_headway",
+    doc="lag analytic (SURVEY §3 W2 — headway between consecutive trains): "
+    "µs gap to the previous event per user. Exact integer arithmetic "
+    "(unix_micros) so no float/boundary semantics in the oracle.",
+    tags=("window",),
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def window_lag_headway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_rolling_avg",
+    doc="Range-frame rolling aggregate (SURVEY §3 W3 — trailing 1h average "
+    "delay per station): RANGE frame over epoch-µs ordering so both engines "
+    "agree on frame boundaries exactly.",
+    tags=("window",),
+    bench=True,
+    oracle="""
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_avg_1h
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_running_sum",
+    doc="Cumulative sum (SURVEY §3 W4 — cumulative delay along a trip): rows "
+    "frame from unbounded preceding; deterministic accumulation order.",
+    tags=("window",),
+    oracle="""
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
