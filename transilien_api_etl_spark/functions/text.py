@@ -1,0 +1,83 @@
+"""Text-analysis column expressions (SURVEY.md §3 F9; BASELINE.json mandate).
+
+Pure DataFrame expressions for the hot path: tokenization, stopword/quality
+ratios, shingling, and a stopword-scored language-ID heuristic. All stay
+inside whole-stage codegen; the corpus-level aggregations built on them
+(word counts, TF-IDF) are plain groupBys in plans/text_q.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny: the heuristic is the operator; the lists are
+# config.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "ne"),
+    "es": ("el", "los", "las", "y", "no"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenizer (documents.text is space-separated lowercase)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text)).cast("long")
+
+
+def stopword_count(tokens: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*stopwords))).cast("long")
+
+
+def marker_score(tokens: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*LANG_MARKERS[lang]))).cast("long")
+
+
+def predict_lang(tokens: Column) -> Column:
+    """Argmax over per-language marker counts, deterministic tie order
+    (de > fr > es > en as the fallback chain)."""
+    s_en = marker_score(tokens, "en")
+    s_de = marker_score(tokens, "de")
+    s_fr = marker_score(tokens, "fr")
+    s_es = marker_score(tokens, "es")
+    return (
+        F.when((s_de > s_en) & (s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
+        .when((s_fr > s_en) & (s_fr >= s_es), F.lit("fr"))
+        .when(s_es > s_en, F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles as strings; empty array when len(tokens) < n.
+
+    Guarded sequence: Spark's sequence(1, k) with k<1 would count DOWN
+    (step auto-inference), so the when() guard is load-bearing.
+    """
+    k = F.size(tokens) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    make = lambda i: F.concat_ws(  # noqa: E731
+        sep, *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.when(k >= 1, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def rolling_hash_fingerprint(text: Column, modulus: int = 2**31 - 1) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    tokens, folded JVM-side (aggregate). Base 1000003, Mersenne modulus."""
+    tokens = tokenize(text)
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + F.abs(F.xxhash64(t)) % modulus) % modulus,
+    )

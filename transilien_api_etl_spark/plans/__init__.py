@@ -2,7 +2,10 @@
 
 from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registration)
     events_q,
+    functions_q,
     relational,
+    text_q,
+    vectors_q,
     windows,
 )
 from transilien_api_etl_spark.plans.registry import (  # noqa: F401

@@ -1,0 +1,255 @@
+"""Scalar-function plans — SURVEY.md §3.8 F1-F7 (M3).
+
+Each query exercises one function family end-to-end against the oracle:
+datetime (incl. day-of-service and GTFS >24h clocks), strings, JSON, math,
+conditionals. All built-ins — every expression stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transilien_api_etl_spark.functions.datetime_fns import (
+    day_of_service,
+    gtfs_clock_seconds,
+    service_departure_ts,
+)
+from transilien_api_etl_spark.functions.strings import (
+    drop_checksum_digit,
+    normalize_station_id,
+    numeric_id,
+)
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+
+@register(
+    "fn_day_of_service",
+    doc="Day-of-service cutoff (SURVEY §3 F1 — after-midnight passages belong "
+    "to the previous operating day): yyyyMMdd bucketing with a 03:00 cutoff.",
+    tags=("functions", "datetime"),
+    oracle="""
+SELECT strftime(ts - INTERVAL 3 HOUR, '%Y%m%d') AS day_of_service,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def fn_day_of_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(day_of_service(F.col("ts"), 3).alias("day_of_service"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day_of_service")
+    )
+
+
+@register(
+    "fn_gtfs_clock",
+    doc="GTFS >24:00:00 clock times (SURVEY §3 F1): synthesize an "
+    "'HH:MM:SS' clock (hours 20..28) per order, parse it to "
+    "seconds-past-service-midnight, and materialize the absolute departure "
+    "timestamp via exact epoch-µs arithmetic. 25:10:00 == next-day 01:10.",
+    tags=("functions", "datetime"),
+    oracle="""
+WITH g AS (
+  SELECT o_orderkey, o_orderdate,
+         lpad(CAST(20 + o_orderkey % 9 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':30' AS clock
+  FROM orders
+), p AS (
+  SELECT o_orderkey, o_orderdate, clock,
+         CAST(string_split(clock, ':')[1] AS BIGINT) * 3600 +
+         CAST(string_split(clock, ':')[2] AS BIGINT) * 60 +
+         CAST(string_split(clock, ':')[3] AS BIGINT)            AS secs
+  FROM g
+)
+SELECT o_orderkey, clock, secs,
+       make_timestamp(epoch_us(o_orderdate) + secs * 1000000) AS departure_ts
+FROM p ORDER BY o_orderkey
+""",
+)
+def fn_gtfs_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    clock = F.concat_ws(
+        ":",
+        F.lpad((F.lit(20) + F.col("o_orderkey") % 9).cast("string"), 2, "0"),
+        F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
+        F.lit("30"),
+    )
+    with_clock = o.select("o_orderkey", "o_orderdate", clock.alias("clock"))
+    return (
+        with_clock.select(
+            "o_orderkey",
+            "clock",
+            gtfs_clock_seconds(F.col("clock")).alias("secs"),
+            service_departure_ts(F.col("o_orderdate"), F.col("clock")).alias("departure_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_datetime_parts",
+    doc="Calendar decomposition + truncation (SURVEY §3 F1): year/month "
+    "rollup of order totals.",
+    tags=("functions", "datetime"),
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "fn_strings_normalize",
+    doc="Station-id / train-num normalization (SURVEY §3 F2): digit-run "
+    "extraction, zero-pad to UIC width, checksum-digit drop, case + "
+    "substring ops.",
+    tags=("functions", "strings"),
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1)            AS id_str,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0')          AS station_id8,
+       substring(lpad(CAST(c_custkey AS VARCHAR), 8, '0'), 1, 7) AS station_id7,
+       upper(substring(c_mktsegment, 1, 3))              AS seg3,
+       CAST(length(c_name) AS INTEGER)                   AS name_len
+FROM customer ORDER BY c_custkey
+""",
+)
+def fn_strings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = load_table(spark, sf_dir, "customer")
+    id8 = normalize_station_id(F.col("c_custkey"), 8)
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", "([0-9]+)", 1).alias("id_str"),
+            numeric_id(F.col("c_name")).alias("id_num"),
+            id8.alias("station_id8"),
+            drop_checksum_digit(id8).alias("station_id7"),
+            F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+            F.length("c_name").cast("int").alias("name_len"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "fn_json_props",
+    doc="JSON extraction with a declared schema (SURVEY §3 F4): "
+    "from_json(props, 'k INT') — typed parse, not string poking; avg(k) per "
+    "event type.",
+    tags=("functions", "json"),
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_math_projection",
+    doc="Math scalar surface (SURVEY §3 F3): per-row net price, floor/ceil, "
+    "abs. net_price rounds to 4 decimals — the product of 2-decimal inputs "
+    "is exact there, so engine round-half modes can't disagree (they do at "
+    "2 decimals whenever the 3rd decimal is exactly 5).",
+    tags=("functions", "math"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
+       CAST(ceil(l_quantity)  AS BIGINT)            AS qty_ceil,
+       round(abs(l_discount - 0.05), 4)             AS disc_dev
+FROM lineitem
+WHERE l_orderkey <= 2000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_math_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "fn_case_when",
+    doc="Conditional decoding (SURVEY §3 F7 — the reference's "
+    "'Retardé'/'Supprimé' status enum): nested CASE bands over type and "
+    "value.",
+    tags=("functions", "conditional"),
+    oracle="""
+SELECT CASE WHEN event_type = 'error' THEN 'ANOMALY'
+            WHEN event_type IN ('purchase', 'signup') THEN 'CONVERSION'
+            ELSE 'TRAFFIC' END AS status,
+       CASE WHEN value >= 250 THEN 'HIGH'
+            WHEN value >= 100 THEN 'MID'
+            ELSE 'LOW' END AS band,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "ANOMALY")
+        .when(F.col("event_type").isin("purchase", "signup"), "CONVERSION")
+        .otherwise("TRAFFIC")
+    )
+    band = (
+        F.when(F.col("value") >= 250, "HIGH")
+        .when(F.col("value") >= 100, "MID")
+        .otherwise("LOW")
+    )
+    return (
+        e.groupBy(status.alias("status"), band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("status", "band")
+    )

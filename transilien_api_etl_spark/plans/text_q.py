@@ -1,0 +1,308 @@
+"""Text-analysis + dedup plans — SURVEY.md §3 F9/F10 (M6).
+
+The training-data-pipeline text operators over ``documents``: tokenization
+stats, word frequencies, quality scoring, language-ID heuristic, exact
+dedup (hash families), n-gram Jaccard near-dup, MinHash+LSH candidates, and
+rolling-hash fingerprints. Everything except the xxhash-based ops is
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.text import (
+    STOPWORDS,
+    predict_lang,
+    rolling_hash_fingerprint,
+    shingles,
+    stopword_count,
+    tokenize,
+)
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.dedup import canonical_row_hash, minhash_signature_pairs
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "docs_token_stats",
+    doc="Corpus token statistics per language (SURVEY §3 F9): pure-DataFrame "
+    "tokenizer (split) so the whole plan is one codegen'd scan+agg.",
+    tags=("text",),
+    bench=True,
+    oracle="""
+SELECT lang,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_word_freq_top20",
+    doc="Global word frequencies, top-20 (SURVEY §3 F9): explode → hash agg "
+    "→ TakeOrderedAndProject; partial aggregation makes the explode "
+    "shuffle-light at scale.",
+    tags=("text", "topk"),
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word LIMIT 20
+""",
+)
+def docs_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_quality_score",
+    doc="Per-document quality scoring (SURVEY §3 F9 / BASELINE mandate): "
+    "token count, distinct ratio, stopword ratio, mean token length, "
+    "composite score — all higher-order array fns, zero UDFs.",
+    tags=("text",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       round(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n_tokens, 6)
+         AS stop_ratio,
+       round(len(list_distinct(toks)) * 1.0 / n_tokens, 6) AS distinct_ratio,
+       round((length(text) - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+       round(0.5 * (len(list_distinct(toks)) * 1.0 / n_tokens)
+             + 0.5 * (1 - len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n_tokens), 6)
+         AS quality
+FROM t ORDER BY doc_id
+""",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = stopword_count(toks)
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    distinct_ratio = n_distinct * F.lit(1.0) / n_tokens
+    avg_token_len = (F.length("text") - (n_tokens - 1)) * F.lit(1.0) / n_tokens
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            n_distinct.cast("long").alias("n_distinct"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(avg_token_len, 6).alias("avg_token_len"),
+            F.round(0.5 * distinct_ratio + 0.5 * (1 - stop_ratio), 6).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_lang_id",
+    doc="Language-ID heuristic (SURVEY §3 F9 / BASELINE mandate): stopword-"
+    "marker scores per language, deterministic argmax; confusion counts vs "
+    "the labeled lang column.",
+    tags=("text",),
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+         len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','nicht')))     AS s_de,
+         len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','ne')))           AS s_fr,
+         len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','no')))           AS s_es
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > s_en THEN 'es'
+            ELSE 'en' END AS predicted,
+       count(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return (
+        d.groupBy("lang", predict_lang(toks).alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    doc="Exact text dedup via content hash (SURVEY §3 F10 / BASELINE "
+    "mandate): sha256(text) groups; keeper = min doc_id. Hash-groupBy is "
+    "the 100 TB-safe exact-dedup plan (single shuffle on the digest).",
+    tags=("dedup",),
+    bench=True,
+    oracle="""
+SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_exact_rows",
+    doc="Canonical row-hash dedup (SURVEY §3 F10): sha256 over a '|'-joined "
+    "projection of stable-typed columns (ints/strings only — float→string "
+    "formatting is engine-specific).",
+    tags=("dedup",),
+    oracle="""
+SELECT row_sha, count(*) AS n FROM (
+  SELECT sha256(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_returnflag)) AS row_sha
+  FROM lineitem)
+GROUP BY row_sha ORDER BY row_sha
+""",
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            canonical_row_hash(["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]).alias(
+                "row_sha"
+            )
+        )
+        .groupBy("row_sha")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("row_sha")
+    )
+
+
+@register(
+    "docs_shingle_jaccard",
+    doc="N-gram Jaccard near-dup (SURVEY §3 F10 / BASELINE mandate): 3-word "
+    "shingles → inverted-index self-join → |A∩B|/|A∪B| ≥ 0.05. The exact "
+    "twin of the MinHash path; at 100 TB the shingle join is bounded by "
+    "shingle frequency (hot shingles should be stop-listed).",
+    tags=("dedup", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))) AS sh
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS n_shared,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
+ORDER BY doc_a, doc_b
+""",
+)
+def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokenize(F.col("text")), 3))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.05)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("n_shared"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "docs_minhash_candidates",
+    doc="MinHash+LSH near-dup candidates (SURVEY §3 F10): 16 xxhash64 minima "
+    "→ 4 bands of 4 → band-bucket self-join. Pure built-ins, no UDF, no "
+    "quadratic pair scan. xxhash64 has no DuckDB twin → rows-only check.",
+    tags=("dedup", "lsh"),
+)
+def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_signature_pairs(
+        d, "doc_id", shingles(tokenize(F.col("text")), 3), num_hashes=16, band_size=4
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_fingerprint",
+    doc="Rolling-hash document fingerprint (BASELINE mandate): polynomial "
+    "fold over tokens, JVM-side aggregate; xxhash64-based → rows-only check.",
+    tags=("text",),
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", rolling_hash_fingerprint(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

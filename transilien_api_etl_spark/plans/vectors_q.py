@@ -1,0 +1,198 @@
+"""Vector/similarity-search plans — SURVEY.md §3 F8/F5 (M6).
+
+Embedding-column analytics: exact cosine kNN (the oracle-checkable
+baseline), array-function surface (norms/stats per vector), label
+centroids, cosine near-dup pairs, and the LSH-bucketed ANN scale path
+(rows-only — DuckDB has no LSH twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+# DuckDB-side cosine between two DOUBLE[] expressions, same sequential-fold
+# arithmetic as functions.vectors.cosine_similarity.
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))))"
+    )
+
+
+_KNN_COS = _cos_sql("e.embedding::DOUBLE[]", "q.qv")
+
+
+@register(
+    "knn_cosine_top10",
+    doc="Exact cosine kNN, query = embedding of vec_id 0, k=10 (SURVEY §3 "
+    "F8): broadcast the 1-row query side, fold the dot product with "
+    "higher-order fns (zip_with+aggregate) — JVM-side, no UDF. At 100 TB "
+    "this is the re-rank stage after LSH candidate generation.",
+    tags=("vectors", "knn"),
+    bench=True,
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_KNN_COS}, 8) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 8)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "embeddings_array_stats",
+    doc="Array-function surface per vector (SURVEY §3 F5): length, L2 norm, "
+    "element sum/min/max via higher-order folds — no explode, no shuffle.",
+    tags=("vectors", "arrays"),
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 8) AS l2,
+       round(list_sum(embedding::DOUBLE[]), 8) AS el_sum,
+       round(list_aggregate(embedding::DOUBLE[], 'min'), 8) AS el_min,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 8) AS el_max
+FROM embeddings ORDER BY vec_id
+""",
+)
+def embeddings_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    dbl = F.transform(e, lambda x: x.cast("double"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(e).cast("int").alias("dim"),
+            F.round(l2_norm(e), 8).alias("l2"),
+            F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 8).alias("el_sum"),
+            F.round(F.array_min(dbl), 8).alias("el_min"),
+            F.round(F.array_max(dbl), 8).alias("el_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "embeddings_centroids",
+    doc="Per-label, per-dimension centroids (SURVEY §3 F5+A1): posexplode → "
+    "hash agg. The partial-aggregate (map-side combine) keeps the exploded "
+    "shuffle at |labels|×|dims| rows regardless of input size.",
+    tags=("vectors", "agg"),
+    oracle="""
+SELECT label, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid,
+       count(*) AS n
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i ORDER BY label, dim
+""",
+)
+def embeddings_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_PAIR_COS = _cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+
+
+@register(
+    "dedup_embedding_cosine",
+    doc="Embedding-cosine near-dup pairs, τ=0.25 (SURVEY §3 F10 / BASELINE "
+    "mandate): exact pairwise form — the correctness oracle for the LSH "
+    "path. Quadratic by construction; at scale use lsh_ann_candidates and "
+    "re-rank.",
+    tags=("vectors", "dedup"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 8) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_PAIR_COS} >= 0.25
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 8).alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "lsh_ann_candidates",
+    doc="ANN scale path (SURVEY §3 F8): random-hyperplane (SimHash) LSH — "
+    "sign of dot(embedding, seeded pseudo-random plane) per bit, banded "
+    "into buckets, self-join on bucket. Candidate pairs only; re-rank with "
+    "the exact kernel. Deterministic planes from xxhash64 → rows-only check.",
+    tags=("vectors", "lsh"),
+)
+def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plane(b)[i] in {-1,+1} from xxhash64(bit, dim) — computed per row from
+    # the element index; 8 bits × 2 bands.
+    def bit(b: int):
+        signed = F.zip_with(
+            F.col("embedding"),
+            F.transform(F.col("embedding"), lambda _, i: F.xxhash64(F.lit(b), i)),
+            lambda x, h: F.when(h % 2 == 0, x.cast("double")).otherwise(-x.cast("double")),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
+        return (s > 0).cast("int").alias(f"bit{b}")
+
+    bits = emb.select("vec_id", *[bit(b) for b in range(8)])
+    bands = []
+    for band in range(2):
+        cols = [F.col(f"bit{band * 4 + i}") for i in range(4)]
+        bands.append(
+            bits.select("vec_id", F.lit(band).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    banded = bands[0].unionByName(bands[1])
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("id_a", "id_b")
+    )
