@@ -1,0 +1,79 @@
+"""Multimodal column plumbing (SURVEY.md §3 F11; BASELINE.json mandate).
+
+Contract: media travel as opaque ``binary`` payloads + a typed metadata
+struct (mime, n_bytes, media-specific fields). Decode / feature-extraction
+runs as Arrow-batched ``mapInPandas`` — the per-batch shape (iterator of
+pandas DataFrames) is exactly what an image/audio library consumes.
+
+The image/audio libs are NOT in this container, so the actual decoders are
+STUBBED: ``decode_features`` computes deterministic fake features from the
+payload bytes (so tests are stable), and ``decode_image`` raises
+NotImplementedError behind an import-try on PIL. The Spark-side plumbing —
+schema, batch iteration, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, width int, height int, checksum long"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", mime: str = "text/plain") -> DataFrame:
+    """Wrap a source column as (payload binary, meta struct) — the ingest
+    normalization every modality goes through (binaryFile source lands the
+    same shape: path/length/content)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("payload", payload).withColumn("meta", meta)
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow batches).
+
+    STUB decoder: fake width/height derived deterministically from payload
+    length, checksum = sum of byte values. Swap `_features_of` for a real
+    decoder (PIL/librosa/av) when the libs exist; the plumbing is identical.
+    """
+
+    def _features_of(payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        return (n % 640 + 1, n % 480 + 1, sum(payload) % (1 << 31))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_features_of)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]).astype("int64"),
+                    "width": feats.map(lambda t: t[0]).astype("int32"),
+                    "height": feats.map(lambda t: t[1]).astype("int32"),
+                    "checksum": feats.map(lambda t: t[2]).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload", "meta").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Real image decode — gated on PIL availability (not in this container)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decode requires Pillow; container ships without it — "
+            "use decode_features (deterministic stub) for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")

@@ -4,7 +4,9 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     events_q,
     functions_q,
     relational,
+    streaming_q,
     text_q,
+    udfs_q,
     vectors_q,
     windows,
 )

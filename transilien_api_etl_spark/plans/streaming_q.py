@@ -1,0 +1,185 @@
+"""Streaming plans — SURVEY.md §3.9 (M5), run with availableNow so the
+driver can hash-compare them against the SAME DuckDB oracles as their batch
+twins. Structured Streaming incrementalizes the identical logical plan, so
+batch == stream results is a property we *verify*, not assume (SURVEY §6.3).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.dedup import exact_dedup
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+from transilien_api_etl_spark.streaming.jobs import (
+    read_events_stream,
+    run_stream_foreach_batch,
+    run_stream_to_memory,
+)
+
+
+@register(
+    "streaming_tumbling_1h",
+    doc="T2 streaming twin of events_tumbling_1h: event-time tumbling window "
+    "agg over the micro-batch file source, complete mode, availableNow. "
+    "Shares the batch oracle.",
+    tags=("streaming",),
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_stream_to_memory(agg, "complete", "tumbling").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "streaming_dedup_keys",
+    doc="T5/T6: watermark + streaming dropDuplicates on (user_id, event_type); "
+    "append mode. Output keys only, so the survivor row's identity (which is "
+    "arrival-order-dependent) can't perturb the hash. Oracle: DISTINCT keys.",
+    tags=("streaming",),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+""",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(dedup, "append", "dedup").orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_stream_static_join",
+    doc="T8: streaming events ⋈ static customer dimension (broadcast), then "
+    "windowless global agg per segment, complete mode.",
+    tags=("streaming",),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_stream_to_memory(agg, "complete", "ssj").orderBy("c_mktsegment")
+
+
+@register(
+    "events_session_window",
+    doc="T4: native session_window (30-minute gap) in batch mode — merged "
+    "windows [min_ts, max_ts+gap); oracle derives the same sessions via the "
+    "lag-gap recipe, proving the two sessionization paths agree.",
+    tags=("events", "session"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "streaming_upsert_foreachbatch",
+    doc="S5/T1: idempotent key-value sink via foreachBatch — each micro-batch "
+    "appends to a staging dir; read-back dedups keep-first per key "
+    "(the reference's DynamoDB same-key-overwrite semantics, made "
+    "deterministic). Oracle: earliest event per (user_id, event_type).",
+    tags=("streaming", "sink"),
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix=f"upsert_{uuid.uuid4().hex[:8]}_")
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-batch DETERMINISTIC keep-earliest (dropDuplicates would keep an
+        # arbitrary row and could discard the global earliest), then append;
+        # the global merge at read takes min-of-batch-mins == global min.
+        (
+            exact_dedup(
+                batch_df.select("user_id", "event_type", "event_id", "ts"),
+                ["user_id", "event_type"],
+                [F.asc("ts"), F.asc("event_id")],
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    run_stream_foreach_batch(s, upsert, "upsert")
+    merged = spark.read.parquet(out_dir)
+    return (
+        exact_dedup(merged, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")])
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,220 @@
+"""UDF/UDAF/UDTF + stateful-streaming + multimodal plans — SURVEY.md §3.10
+(X1-X4), §3.9 T7, §3.8 F11 (M5/M6 tail).
+
+Each Python-boundary operator is held to the same oracle as its built-in
+twin — the point is proving the Arrow path preserves semantics, not using
+UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.udfs import (
+    simhash_pudf,
+    token_count_pudf,
+    weighted_avg_pudf,
+)
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.multimodal import attach_payload, decode_features
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+from transilien_api_etl_spark.streaming.jobs import read_events_stream, run_stream_to_memory
+
+
+@register(
+    "udf_token_count",
+    doc="X1 scalar pandas_udf (Arrow series→series): token counts — must "
+    "match the built-in split/len twin's oracle exactly.",
+    tags=("udf",),
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+def udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_pudf("text").alias("n_tokens")).orderBy("doc_id")
+
+
+@register(
+    "udf_grouped_gap_stats",
+    doc="X2 applyInPandas grouped-map: per-user inter-event gap stats in "
+    "pandas; oracle recomputes via SQL lag. Grouped-map is the escape hatch "
+    "for per-key imperative logic (the reference's per-trip reconstruction).",
+    tags=("udf",),
+    oracle="""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) - epoch_us(lag(ts) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       round(avg(gap_us) / 1000000, 4) AS avg_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def udf_grouped_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].astype("int64").diff().dropna() // 1000  # ns → µs
+        # avg emitted in SECONDS: µs magnitudes (~3e10) have more significant
+        # digits than a double can round-trip at 4 decimals, so engines'
+        # last-bit differences would poke through the rounding.
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_gaps": [int(len(gaps))],
+                "min_gap_us": [int(gaps.min()) if len(gaps) else None],
+                "max_gap_us": [int(gaps.max()) if len(gaps) else None],
+                "avg_gap_s": [round(float(gaps.mean()) / 1e6, 4) if len(gaps) else None],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_gaps long, min_gap_us long, max_gap_us long, avg_gap_s double"
+    )
+    return (
+        e.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(stats, out_schema)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "udf_weighted_avg",
+    doc="X3 grouped-agg pandas UDAF: order-value weighted average price per "
+    "priority (weight = linenumber); oracle is sum(w*x)/sum(w).",
+    tags=("udf",),
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(l_linenumber * l_extendedprice) / sum(l_linenumber), 4) AS wavg_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        # NB: Spark forbids mixing a group-agg pandas UDF with built-in
+        # aggregates in one agg() — so this emits only the UDAF column.
+        .agg(
+            F.round(
+                weighted_avg_pudf(F.col("l_extendedprice"), F.col("l_linenumber").cast("double")),
+                4,
+            ).alias("wavg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "udf_simhash",
+    doc="X1 + F10: SimHash fingerprints via pandas_udf (bit-vote aggregation "
+    "is genuinely awkward as SQL). blake2b-based → no DuckDB twin → "
+    "rows-only check; determinism is covered by unit tests.",
+    tags=("udf", "dedup"),
+)
+def udf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_pudf("text").alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "streaming_stateful_running_max",
+    doc="T7 arbitrary stateful streaming: applyInPandasWithState tracks a "
+    "per-user running max across micro-batches, emitting the state each "
+    "batch. With availableNow the final emission per user equals the global "
+    "max — the oracle.",
+    tags=("streaming", "stateful"),
+    oracle="""
+SELECT user_id, round(max(value), 2) AS max_value, count(*) AS n_seen
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def streaming_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    def track(key, batches, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in batches:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "max_value": [round(mx, 2)], "n_seen": [n]}
+        )
+
+    out = (
+        s.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            "user_id long, max_value double, n_seen long",
+            "max double, n long",
+            "Update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = run_stream_to_memory(out, "update", "stateful")
+    # update-mode memory sink appends every emission; keep the last per user
+    # (n_seen is monotone, so max n_seen == final state)
+    from transilien_api_etl_spark.operators.dedup import exact_dedup
+
+    return (
+        exact_dedup(result, ["user_id"], [F.desc("n_seen")])
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "multimodal_ingest_meta",
+    doc="F11 multimodal ingest normalization: binary payload + typed meta "
+    "struct; byte-length is oracle-checkable (octet_length of utf8 text).",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def multimodal_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        attach_payload(d)
+        .select("doc_id", F.col("meta.mime").alias("mime"), F.col("meta.n_bytes").alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    doc="F11 decode/feature-extract over mapInPandas (Arrow batch iterator) — "
+    "deterministic stub decoder (real image/audio libs absent by design; "
+    "plumbing is real). Rows-only check; determinism unit-tested.",
+    tags=("multimodal", "udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(d)).orderBy("doc_id")

@@ -17,6 +17,9 @@ config here is chosen to also be the right call on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +59,35 @@ def build_session(
     return spark
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    The driver may import us via a ``sys.path`` insert from any cwd; that
+    does NOT propagate to the worker processes that unpickle pandas_udf /
+    applyInPandas closures. Zip the package and ``addPyFile`` it once per
+    application — workers prepend the zip to their ``sys.path``.
+    On a real cluster this is exactly how the package would be deployed
+    (``--py-files``), so the local path and the 1000-executor path agree.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / f"transilien_api_etl_spark-{os.getpid()}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+        tmp.rename(zip_path)
+    sc.addPyFile(str(zip_path))
+    _SHIPPED_APPS.add(app)
+
+
 def ensure_query_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime-settable confs every registry query depends on.
 
@@ -66,4 +98,5 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
