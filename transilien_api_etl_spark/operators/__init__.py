@@ -5,6 +5,12 @@ needed (SURVEY §5): the plans stay fully visible to the optimizer
 (pushdown, AQE, broadcast) and whole-stage codegen.
 """
 
+from transilien_api_etl_spark.operators.delays import (  # noqa: F401
+    delay_board,
+    delay_stats,
+    match_passages,
+    with_delay,
+)
 from transilien_api_etl_spark.operators.dedup import (  # noqa: F401
     canonical_row_hash,
     exact_dedup,

@@ -1,0 +1,176 @@
+"""GTFS schedule ingest — SURVEY.md §3.1 S2, §1.2 (reference: the GTFS zip
+load into Postgres; re-expressed as declared-schema CSV scans + declarative
+service-calendar resolution).
+
+Scale posture: every file is a plain CSV scan with an explicit schema (no
+``inferSchema`` pass), so Catalyst prunes columns and the read parallelizes
+by file split. ``stop_times`` is the only large table (O(10^6+) rows in real
+feeds; O(10^9) at 100 TB-scale multi-network feeds) — everything else is
+broadcast-sized dimension data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transilien_api_etl_spark.functions.datetime_fns import service_departure_ts
+from transilien_api_etl_spark.functions.strings import numeric_id
+
+GTFS_SCHEMAS: dict[str, T.StructType] = {
+    "agency": T.StructType(
+        [
+            T.StructField("agency_id", T.StringType()),
+            T.StructField("agency_name", T.StringType()),
+            T.StructField("agency_url", T.StringType()),
+            T.StructField("agency_timezone", T.StringType()),
+        ]
+    ),
+    "stops": T.StructType(
+        [
+            T.StructField("stop_id", T.StringType()),
+            T.StructField("stop_name", T.StringType()),
+            T.StructField("stop_lat", T.DoubleType()),
+            T.StructField("stop_lon", T.DoubleType()),
+        ]
+    ),
+    "routes": T.StructType(
+        [
+            T.StructField("route_id", T.StringType()),
+            T.StructField("agency_id", T.StringType()),
+            T.StructField("route_short_name", T.StringType()),
+            T.StructField("route_long_name", T.StringType()),
+            T.StructField("route_type", T.IntegerType()),
+        ]
+    ),
+    "trips": T.StructType(
+        [
+            T.StructField("route_id", T.StringType()),
+            T.StructField("service_id", T.StringType()),
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("trip_headsign", T.StringType()),
+        ]
+    ),
+    "stop_times": T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("arrival_time", T.StringType()),  # GTFS clock, may be >24h
+            T.StructField("departure_time", T.StringType()),
+            T.StructField("stop_id", T.StringType()),
+            T.StructField("stop_sequence", T.IntegerType()),
+        ]
+    ),
+    "calendar": T.StructType(
+        [
+            T.StructField("service_id", T.StringType()),
+            T.StructField("monday", T.IntegerType()),
+            T.StructField("tuesday", T.IntegerType()),
+            T.StructField("wednesday", T.IntegerType()),
+            T.StructField("thursday", T.IntegerType()),
+            T.StructField("friday", T.IntegerType()),
+            T.StructField("saturday", T.IntegerType()),
+            T.StructField("sunday", T.IntegerType()),
+            T.StructField("start_date", T.StringType()),  # yyyyMMdd
+            T.StructField("end_date", T.StringType()),
+        ]
+    ),
+    "calendar_dates": T.StructType(
+        [
+            T.StructField("service_id", T.StringType()),
+            T.StructField("date", T.StringType()),  # yyyyMMdd
+            T.StructField("exception_type", T.IntegerType()),  # 1=added 2=removed
+        ]
+    ),
+}
+
+# GTFS weekday flag column per Python weekday() index (Mon=0).
+_WEEKDAY_COLS = (
+    "monday",
+    "tuesday",
+    "wednesday",
+    "thursday",
+    "friday",
+    "saturday",
+    "sunday",
+)
+
+
+def load_gtfs_table(spark: SparkSession, gtfs_dir: str, name: str) -> DataFrame:
+    """Declared-schema CSV scan of one GTFS file (S2). Never inferSchema."""
+    return (
+        spark.read.schema(GTFS_SCHEMAS[name])
+        .option("header", True)
+        .csv(f"{gtfs_dir}/{name}.txt")
+    )
+
+
+def load_gtfs(spark: SparkSession, gtfs_dir: str) -> dict[str, DataFrame]:
+    return {name: load_gtfs_table(spark, gtfs_dir, name) for name in GTFS_SCHEMAS}
+
+
+def services_active_on(
+    calendar: DataFrame, calendar_dates: DataFrame, yyyymmdd: str
+) -> DataFrame:
+    """service_ids running on a service day, GTFS semantics (J5 in action).
+
+    base     = calendar rows whose weekday flag is set and date ∈ [start, end]
+    added    = calendar_dates exception_type=1 for the day     (union)
+    removed  = calendar_dates exception_type=2 for the day     (left_anti)
+
+    The reference resolves this imperatively in Python per query; the
+    declarative form is a constant-folded filter + union + anti-join on
+    broadcast-sized inputs — negligible at any scale.
+    """
+    import datetime as _dt
+
+    day_col = _WEEKDAY_COLS[_dt.datetime.strptime(yyyymmdd, "%Y%m%d").weekday()]
+    base = calendar.filter(
+        (F.col(day_col) == 1)
+        & (F.col("start_date") <= yyyymmdd)
+        & (F.col("end_date") >= yyyymmdd)
+    ).select("service_id")
+    exceptions = calendar_dates.filter(F.col("date") == yyyymmdd)
+    added = exceptions.filter(F.col("exception_type") == 1).select("service_id")
+    removed = exceptions.filter(F.col("exception_type") == 2).select("service_id")
+    return (
+        base.unionByName(added)
+        .distinct()
+        .join(removed, "service_id", "left_anti")
+    )
+
+
+def scheduled_departures(
+    gtfs: dict[str, DataFrame], yyyymmdd: str
+) -> DataFrame:
+    """Materialized schedule for one service day: the reference's 'theoretical
+    passages' (stop_times ⋈ trips ⋈ active services, clock → absolute ts).
+
+    Join order: big stop_times last joins against broadcast-sized trips
+    (filtered to active services first, so the broadcast side stays small).
+    GTFS >24:00:00 departure clocks land on the next calendar day via exact
+    epoch arithmetic (``service_departure_ts``).
+    """
+    active = services_active_on(gtfs["calendar"], gtfs["calendar_dates"], yyyymmdd)
+    trips_today = gtfs["trips"].join(F.broadcast(active), "service_id")
+    service_date = F.to_timestamp(F.lit(yyyymmdd), "yyyyMMdd")
+    return (
+        gtfs["stop_times"]
+        .join(F.broadcast(trips_today), "trip_id")
+        .withColumn("service_day", F.lit(yyyymmdd))
+        .withColumn("train_num", numeric_id(F.col("trip_id")))
+        .withColumn(
+            "scheduled_ts", service_departure_ts(service_date, F.col("departure_time"))
+        )
+        .select(
+            "service_day",
+            "trip_id",
+            "train_num",
+            "route_id",
+            "stop_id",
+            "stop_sequence",
+            "departure_time",
+            "scheduled_ts",
+            "trip_headsign",
+        )
+    )

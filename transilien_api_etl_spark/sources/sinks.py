@@ -1,0 +1,86 @@
+"""Sinks (SURVEY.md §3.1 S4-S6).
+
+- ``write_partitioned``: the 100 TB warehouse layout — parquet partitioned
+  by service day / date so every day-scoped query partition-prunes its scan
+  (static + dynamic partition pruning both apply).
+- ``upsert_by_key``: idempotent same-key-overwrite semantics (the reference
+  Dynamo ``batch_write``): newest record per key wins, written with dynamic
+  partition overwrite so re-running a day is idempotent, never duplicating.
+- ``read_jdbc`` / ``write_jdbc``: the reference's Postgres leg (S4) — thin
+  declarative wrappers over Spark's built-in JDBC source (predicate pushdown
+  and parallel partitioned reads come free). No JDBC driver jar ships in
+  this environment, so these are exercised only when a URL is supplied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet warehouse sink (S6)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def upsert_by_key(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Idempotent key-value upsert (S5): keep the newest row per key
+    (``order_col`` desc), overwrite only the touched partitions.
+
+    Spark-first equivalent of the reference's Dynamo same-key overwrite:
+    dedup is a window rank (one shuffle on the key), and dynamic partition
+    overwrite (``partitionOverwriteMode=dynamic``) makes replaying a batch
+    idempotent without rewriting the whole table.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    writer = latest.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC read (S4). With a partition column, Spark issues
+    ``num_partitions`` range-sliced queries — the scalable path."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """JDBC write (S4); batch inserts, parallel per partition."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
