@@ -1,0 +1,57 @@
+"""The two as-of strategies (join+rank vs union/merge-scan) must agree
+exactly — same match, same tie-break, same null behavior (SURVEY §3 J6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.joins import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("tolerance", [None, 3600])
+def test_union_matches_join_strategy(spark, tolerance):
+    e = load_table(spark, SF, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+
+    def run(strategy):
+        m = asof_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            left_keys=["event_id"],
+            direction="backward",
+            tolerance_seconds=tolerance,
+            strategy=strategy,
+        )
+        return {
+            r["pid"]: (r["cid"], r["cts"])
+            for r in m.select(
+                F.col("l.event_id").alias("pid"),
+                F.col("r.event_id").alias("cid"),
+                F.col("r.ts").alias("cts"),
+            ).collect()
+        }
+
+    via_join = run("join")
+    via_union = run("union")
+    assert via_join == via_union
+    assert len(via_join) > 0
+    if tolerance is None:
+        # some purchase has a match (sanity: not all-null)
+        assert any(cid is not None for cid, _ in via_join.values())
+
+
+def test_union_strategy_rejects_unsupported(spark):
+    e = load_table(spark, SF, "events").limit(10)
+    with pytest.raises(ValueError):
+        asof_join(
+            e, e, on=["user_id"], left_ts="ts", right_ts="ts",
+            left_keys=["event_id"], direction="forward", strategy="union",
+        )

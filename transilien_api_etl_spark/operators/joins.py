@@ -33,6 +33,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: int | None = None,
     how: str = "left",
+    strategy: str = "join",
 ) -> DataFrame:
     """Match each left row to the nearest right row (per ``on`` key).
 
@@ -42,7 +43,18 @@ def asof_join(
     Ties on right_ts break on the remaining right columns' max — callers
     should order-determinize by including a unique right id in the frame,
     which we do by sorting on all of (right_ts, right columns).
+
+    ``strategy='union'`` (backward, left-join only) uses the merge-scan
+    recipe instead: union both sides tagged, one window sort per key, and
+    ``last(right_struct, ignorenulls)`` carries the latest right row onto
+    each left row. No join fan-out at all — per-key cost is O(n log n)
+    instead of O(n_left × n_right), which is what survives hot keys at
+    100 TB. Semantics match ``strategy='join'`` exactly (same tie-break).
     """
+    if strategy == "union":
+        return _asof_union(
+            left, right, on, left_ts, right_ts, direction, tolerance_seconds, how
+        )
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = None
     for c in on:
@@ -67,6 +79,72 @@ def asof_join(
     order += [F.col(f"r.{c}").desc_nulls_last() for c in right_ids]
     w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_keys]).orderBy(*order)
     return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str,
+    tolerance_seconds: int | None,
+    how: str,
+) -> DataFrame:
+    """Union/merge-scan backward as-of (see ``asof_join`` docstring).
+
+    Output schema matches the join strategy: left columns under alias ``l``,
+    right columns under ``r`` (null structs where no match).
+    """
+    if direction != "backward" or how != "left":
+        raise ValueError("strategy='union' supports direction='backward', how='left'")
+    rcols = [c for c in right.columns if c not in on]
+    tie = [c for c in rcols if c != right_ts]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias("__r"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.lit(None).cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+    )
+    # Right rows sort BEFORE left rows at equal ts (c.ts <= p.ts is a match);
+    # among right ties the greatest (ts, tie cols) is seen last → wins, which
+    # matches the join strategy's desc tie-break.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), *[F.col(f"__r.{c}").asc_nulls_first() for c in tie])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_right") == 0)
+    )
+    if tolerance_seconds is not None:
+        in_tol = F.col(f"__match.{right_ts}") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance_seconds} SECONDS"
+        )
+        matched = matched.withColumn(
+            "__match", F.when(in_tol, F.col("__match")).otherwise(F.lit(None))
+        )
+    # Expose the join strategy's l/r access pattern via struct columns:
+    # F.col("l.x") / F.col("r.y") resolve as field access. r is null-struct
+    # when unmatched (left-join semantics) — the on-keys come from the left
+    # side, equal by construction.
+    r_fields = [F.col(c).alias(c) for c in on] + [
+        F.col(f"__match.{c}").alias(c) for c in rcols
+    ]
+    return matched.select(
+        F.col("__l").alias("l"),
+        F.when(F.col("__match").isNotNull(), F.struct(*r_fields)).alias("r"),
+    )
 
 
 def range_join(

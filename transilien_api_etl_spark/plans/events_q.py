@@ -152,8 +152,9 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_purchase_click",
     doc="As-of join (SURVEY §3 J6 — the reference's observed↔scheduled "
     "matching): each purchase matched to the latest same-user click at or "
-    "before it; delay = µs gap. Equi key (user_id) bounds fan-out; nearest "
-    "row picked via row_number (oracle: LATERAL ... LIMIT 1).",
+    "before it; delay = µs gap. Union/merge-scan strategy: one shuffle on "
+    "user_id, last(click, ignorenulls) over the merged order — zero join "
+    "fan-out even on hot keys (oracle: LATERAL ... LIMIT 1).",
     tags=("events", "asof"),
     bench=True,
     oracle="""
@@ -183,6 +184,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         left_keys=["event_id"],
         direction="backward",
+        strategy="union",
     )
     return (
         matched.select(
