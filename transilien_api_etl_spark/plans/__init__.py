@@ -4,6 +4,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     events_q,
     functions_q,
     relational,
+    relational_ext,
     streaming_q,
     text_q,
     udfs_q,

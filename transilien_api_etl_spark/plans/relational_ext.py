@@ -1,0 +1,238 @@
+"""Relational coverage extensions — the remaining SURVEY.md §3 rows:
+J8 cross join, A4 GROUPING SETS (explicit), A2 approx/exact count-distinct
+twin, O1/O2 global sort + limit, U1 union-all, F6 map/struct construction,
+X4 UDTF.
+
+Each stays oracle-expressible except where noted (approx HLL counts pair
+with the exact twin that IS checked; the approx column is asserted within
+relative error, not hashed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+
+@register(
+    "cross_join_region_pairs",
+    doc="Cross join (SURVEY §3 J8): ordered region×region pairs — tiny dims "
+    "only; CartesianProduct is intentional and bounded here, and exactly the "
+    "plan shape to FORBID on fact tables (see tests/test_plan_shapes.py).",
+    tags=("join", "cross"),
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY from_region, to_region
+""",
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("from_region") < F.col("to_region"))
+        .orderBy("from_region", "to_region")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    doc="Explicit GROUPING SETS (SURVEY §3 A4): order-status totals at "
+    "(status, priority), (status), and grand-total granularities in one "
+    "pass — the general form rollup/cube specialize.",
+    tags=("agg", "grouping-sets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_approx_distinct_twin",
+    doc="HLL approx_count_distinct next to its exact twin (SURVEY §3 A2, "
+    "§6.2): the oracle checks the exact column; the approx column is "
+    "projected to its signed error vs exact and asserted |err| <= 5% by "
+    "bucketing — deterministic for a fixed dataset, hence hashable.",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_approx_distinct_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return (
+        agg.select(
+            "o_orderstatus",
+            "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+                "approx_within_5pct"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "sort_global_top100",
+    doc="Global sort + limit (SURVEY §3 O1/O2): top-100 orders by price. "
+    "Physical plan is TakeOrderedAndProject — per-partition heap + driver "
+    "merge, never a full range-partitioned sort.",
+    tags=("sort", "topk"),
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def sort_global_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "total_price")
+    )
+
+
+@register(
+    "union_all_order_events",
+    doc="Union-all without dedup (SURVEY §3 U1 — concatenating per-station "
+    "poll batches): order-year counts unioned with event-year counts, "
+    "unionByName so column order can never silently rotate.",
+    tags=("setop", "union"),
+    oracle="""
+SELECT src, y, n FROM (
+  SELECT 'orders' AS src, CAST(year(o_orderdate) AS INT) AS y, count(*) AS n
+  FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'events' AS src, CAST(year(ts) AS INT) AS y, count(*) AS n
+  FROM events GROUP BY 2)
+ORDER BY src, y
+""",
+)
+def union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    oy = o.groupBy(F.year("o_orderdate").cast("int").alias("y")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("orders").alias("src"), "y", "n")
+    ey = e.groupBy(F.year("ts").cast("int").alias("y")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("events").alias("src"), "y", "n")
+    return oy.unionByName(ey).orderBy("src", "y")
+
+
+@register(
+    "fn_map_struct_shapes",
+    doc="Map/struct construction + field access (SURVEY §3 F6): per-event "
+    "typed struct and string map, then field/key projection back out — the "
+    "dict-shaped-record round-trip the reference does in Python.",
+    tags=("functions", "map-struct"),
+    oracle="""
+SELECT event_id,
+       event_type AS typ,
+       printf('%.2f', round(value, 2)) AS val_str,
+       year(ts) AS y
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+ORDER BY event_id
+""",
+)
+def fn_map_struct_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    shaped = (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .withColumn(
+            "rec",
+            F.struct(
+                F.col("event_type").alias("typ"),
+                F.year("ts").alias("y"),
+            ),
+        )
+        .withColumn(
+            "attrs",
+            F.create_map(
+                F.lit("val"), F.format_string("%.2f", F.round("value", 2)),
+            ),
+        )
+    )
+    # project struct fields / map keys back out
+    return shaped.select(
+        "event_id",
+        F.col("rec.typ").alias("typ"),
+        F.col("attrs")["val"].alias("val_str"),
+        F.col("rec.y").alias("y"),
+    ).orderBy("event_id")
+
+
+@register(
+    "udtf_explode_shingles",
+    doc="UDTF surface (SURVEY §3 X4): table function exploding each document "
+    "into its 5-gram character shingles with positions. Registered via "
+    "F.udtf; oracle is a LATERAL unnest over generate_series.",
+    tags=("udf", "udtf", "text"),
+    oracle="""
+SELECT d.doc_id, gs.pos, substring(d.text, gs.pos + 1, 5) AS shingle
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0, CAST(length(d.text) AS INT) - 5)) AS pos) gs
+WHERE length(d.text) >= 5 AND d.doc_id <= 50
+ORDER BY doc_id, pos
+""",
+)
+def udtf_explode_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, shingle: string")
+    class ShingleUDTF:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None or len(text) < 5:
+                return
+            for pos in range(len(text) - 4):
+                yield pos, text[pos : pos + 5]
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("shingles", ShingleUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM _udtf_docs d, LATERAL shingles(d.doc_id, d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )

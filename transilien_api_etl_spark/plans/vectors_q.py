@@ -196,3 +196,66 @@ def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("id_a", "id_b")
     )
+
+
+_CENT_COS = _cos_sql("cv", "qv")
+
+
+@register(
+    "knn_ivf_top10",
+    doc="IVF-style ANN (SURVEY §3 F8 scale path, oracle-checked end-to-end): "
+    "coarse cells keyed by label (stand-in for a trained k-means "
+    "assignment), per-cell mean-vector centroids, probe the 2 cells whose "
+    "centroids are nearest the query, exact cosine top-10 within probed "
+    "cells only. At 100 TB the inverted lists are parquet partitions keyed "
+    "by cell id — the probe prunes partitions before any scan.",
+    tags=("vectors", "knn", "ivf"),
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i)
+  GROUP BY label),
+probed AS (
+  SELECT cent.label FROM cent, q
+  ORDER BY {_CENT_COS} DESC, label LIMIT 2)
+SELECT e.vec_id, round({_KNN_COS}, 8) AS cos_sim
+FROM embeddings e JOIN probed USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # per-cell centroids: posexplode → avg → rebuild ordered array
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .orderBy(F.desc(cosine_similarity(F.col("cv"), F.col("qv"))), "label")
+        .limit(2)
+        .select("label")
+    )
+    cos = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 8)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "label")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
