@@ -45,7 +45,14 @@ FACT_QUERIES = [
     "join_left_order_counts",
     "join_semi_big_spenders",
     "join_anti_no_orders",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
 ]
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    plan = _physical_plan(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in plan, f"EXISTS did not decorrelate to a semi join:\n{plan}"
 
 
 def _physical_plan(spark, name: str) -> str:

@@ -236,3 +236,64 @@ def udtf_explode_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@register(
+    "q4_order_priority_exists",
+    doc="EXISTS correlated subquery (SURVEY §4.2.2 SQL entry path + §5 "
+    "subquery decorrelation): Catalyst rewrites the EXISTS into a left semi "
+    "join — asserted decorrelated in tests/test_plan_shapes.py.",
+    tags=("join", "subquery"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM _q4_lineitem WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    doc="Correlated scalar subquery (SURVEY §5 RewriteCorrelatedScalarSubquery): "
+    "revenue from lineitems under 20%% of their part's average quantity — "
+    "decorrelates to an aggregate + join, no per-row re-scan.",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM _q17_lineitem l1
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM _q17_lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
