@@ -77,3 +77,79 @@ def decode_image(df: DataFrame) -> DataFrame:
             "use decode_features (deterministic stub) for plumbing tests"
         ) from e
     raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, mime string, n_bytes long, width int, height int"
+)
+
+
+def resize_payloads(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing over mapInPandas (STUB transform).
+
+    A real resize maps decoded pixels → pixels; the stub maps the byte
+    buffer to exactly width×height bytes (truncate / cycle-pad), preserving
+    determinism so the batch shape, schema evolution, and partitioning can
+    be tested. Swap the inner lambda for PIL's ``Image.resize`` when
+    available — the Spark plumbing does not change.
+    """
+    target = width * height
+
+    def _resize(payload: bytes) -> bytes:
+        if len(payload) >= target:
+            return bytes(payload[:target])
+        reps = (target + len(payload) - 1) // len(payload) if payload else 1
+        return bytes((payload * reps)[:target]) if payload else bytes(target)
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    out = df.select(id_col, "payload", "meta").mapInPandas(transform, RESIZED_SCHEMA)
+    return out.withColumn("width", F.col("width").cast("int")).withColumn(
+        "height", F.col("height").cast("int")
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes long"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 256, every_n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling plumbing (video-shaped payloads), one output row per
+    sampled frame — the row-exploding mapInPandas shape a real demuxer
+    (PyAV) plugs into. STUB: frames are fixed-size byte slices; every
+    ``every_n``-th is kept.
+    """
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    frame = bytes(payload[i * frame_size : (i + 1) * frame_size])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame": frame,
+                            "frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame", "frame_bytes"])
+
+    return df.select(id_col, "payload").mapInPandas(explode_frames, FRAME_SCHEMA)

@@ -19,7 +19,12 @@ from transilien_api_etl_spark.functions.udfs import (
     weighted_avg_pudf,
 )
 from transilien_api_etl_spark.io import load_table
-from transilien_api_etl_spark.operators.multimodal import attach_payload, decode_features
+from transilien_api_etl_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    resize_payloads,
+    sample_frames,
+)
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 from transilien_api_etl_spark.streaming.jobs import read_events_stream, run_stream_to_memory
@@ -218,3 +223,50 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = load_table(spark, sf_dir, "documents")
     return decode_features(attach_payload(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize_meta",
+    doc="F11 resize plumbing over mapInPandas — stub byte-resize to 64x32 "
+    "(real decoder swaps in without touching the Spark plan). The output "
+    "geometry/byte-length contract IS oracle-checkable.",
+    tags=("multimodal", "udf"),
+    oracle="""
+SELECT doc_id, 2048 AS n_bytes, 64 AS width, 32 AS height
+FROM documents ORDER BY doc_id
+""",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_payloads(attach_payload(d), width=64, height=32)
+    return resized.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "width",
+        "height",
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    doc="F11 frame-sample plumbing (video-shaped payloads): every 4th "
+    "256-byte frame, one row per sampled frame via mapInPandas. Frame "
+    "geometry (index, byte count) is fully oracle-checkable from the "
+    "payload length.",
+    tags=("multimodal", "udf"),
+    oracle="""
+SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
+       CAST(least(256, octet_length(encode(d.text)) - f.i * 256) AS BIGINT)
+         AS frame_bytes
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(
+         0, CAST(ceil(octet_length(encode(d.text)) / 256.0) AS INT) - 1, 4)) AS i) f
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(d), frame_size=256, every_n=4)
+    return frames.select("doc_id", "frame_idx", "frame_bytes").orderBy("doc_id", "frame_idx")
