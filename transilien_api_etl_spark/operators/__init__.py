@@ -18,4 +18,9 @@ from transilien_api_etl_spark.operators.dedup import (  # noqa: F401
 )
 from transilien_api_etl_spark.operators.joins import asof_join, range_join  # noqa: F401
 from transilien_api_etl_spark.operators.sessionize import sessionize  # noqa: F401
+from transilien_api_etl_spark.operators.skew import (  # noqa: F401
+    salted_agg,
+    salted_join,
+    with_salt,
+)
 from transilien_api_etl_spark.operators.topk import topk_global, topk_per_group  # noqa: F401
