@@ -194,3 +194,14 @@ def test_sinks_roundtrip(spark, schedule, tmp_path):
     upsert_by_key(df1, upsert_path, ["key"], "version")
     got = {r.key: r.val for r in spark.read.parquet(upsert_path).collect()}
     assert got == {"k1": "new", "k2": "only"}
+    # a later batch updates k1, adds k3, leaves k2 untouched (true MERGE)
+    df2 = spark.createDataFrame(
+        [("k1", 3, "newer"), ("k3", 1, "fresh")], "key string, version int, val string"
+    )
+    upsert_by_key(df2, upsert_path, ["key"], "version")
+    got = {r.key: r.val for r in spark.read.parquet(upsert_path).collect()}
+    assert got == {"k1": "newer", "k2": "only", "k3": "fresh"}
+    # stale replay of batch 1 cannot roll k1 back (version ordering wins)
+    upsert_by_key(df1, upsert_path, ["key"], "version")
+    got = {r.key: r.val for r in spark.read.parquet(upsert_path).collect()}
+    assert got == {"k1": "newer", "k2": "only", "k3": "fresh"}

@@ -1,6 +1,7 @@
 """Query plans. Importing this package registers every named query."""
 
 from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registration)
+    domain_q,
     events_q,
     functions_q,
     relational,

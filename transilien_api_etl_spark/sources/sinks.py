@@ -32,17 +32,33 @@ def upsert_by_key(
     order_col: str,
     partition_cols: list[str] | None = None,
 ) -> None:
-    """Idempotent key-value upsert (S5): keep the newest row per key
-    (``order_col`` desc), overwrite only the touched partitions.
+    """Idempotent key-value upsert / MERGE (S5): newest row per key wins
+    (``order_col`` desc), existing rows for other keys survive.
 
     Spark-first equivalent of the reference's Dynamo same-key overwrite:
-    dedup is a window rank (one shuffle on the key), and dynamic partition
-    overwrite (``partitionOverwriteMode=dynamic``) makes replaying a batch
-    idempotent without rewriting the whole table.
+    merge = union(existing, incoming) → window-rank dedup → rewrite. With
+    ``partition_cols``, only the partitions present in the incoming batch
+    are read back and rewritten (dynamic partition overwrite) — at 100 TB
+    the merge cost is bounded by the touched partitions (e.g. one service
+    day), never the table. Replaying the same batch is a no-op by
+    construction. The existing slice is localCheckpoint-ed so reading and
+    overwriting the same path in one job is safe.
     """
+    from pyspark.errors import AnalysisException
+
+    spark = df.sparkSession
+    merged = df
+    try:
+        existing = spark.read.parquet(path)
+        if partition_cols:
+            touched = df.select(*partition_cols).distinct()
+            existing = existing.join(F.broadcast(touched), partition_cols, "left_semi")
+        merged = existing.select(*df.columns).localCheckpoint(eager=True).unionByName(df)
+    except AnalysisException:  # first write: nothing to merge
+        pass
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
-        df.withColumn("_rn", F.row_number().over(w))
+        merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
