@@ -183,3 +183,53 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "streaming_session_window",
+    doc="T4 streaming twin of events_session_window: native session_window "
+    "over the micro-batch source with a watermark (session state evicts "
+    "once the watermark passes a session's close). Shares the batch "
+    "lag-gap oracle — streaming/batch equivalence for merged windows.",
+    tags=("streaming", "session"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_memory(agg, "complete", "sessionwin").orderBy(
+        "user_id", "session_start"
+    )

@@ -306,3 +306,58 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", rolling_hash_fingerprint(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_tfidf_top3",
+    doc="Pure-DataFrame TF-IDF, top-3 terms per doc over the first 100 docs "
+    "(SURVEY §3 F9): tf = per-doc term count, idf = ln(N/df). Two hash aggs "
+    "+ one broadcast join on the (small) vocabulary — no ML pipeline, no "
+    "UDF; at corpus scale the df table is the only shuffled reduction.",
+    tags=("text", "tfidf"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id <= 100),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+ORDER BY doc_id, tfidf DESC, term
+""",
+)
+def docs_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df").cast("double")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
