@@ -47,6 +47,8 @@ FACT_QUERIES = [
     "join_anti_no_orders",
     "q4_order_priority_exists",
     "q17_small_quantity_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 
 

@@ -118,6 +118,24 @@ def observed(spark):
     return normalize_passages(parse_passages(raw)).cache()
 
 
+def test_load_gtfs_zip_matches_dir_load(spark, gtfs_dir, tmp_path):
+    import zipfile
+
+    zpath = str(tmp_path / "feed.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name in ("trips", "stop_times", "calendar", "calendar_dates", "stops", "routes"):
+            zf.write(f"{gtfs_dir}/{name}.txt", arcname=f"{name}.txt")
+        # agency deliberately omitted → must load as an empty typed frame
+    from transilien_api_etl_spark.sources.gtfs import load_gtfs_zip
+
+    feeds = load_gtfs_zip(spark, zpath)
+    assert feeds["agency"].count() == 0
+    assert feeds["agency"].schema == load_gtfs(spark, gtfs_dir)["agency"].schema
+    sched_zip = scheduled_departures(feeds, DAY)
+    sched_dir = scheduled_departures(load_gtfs(spark, gtfs_dir), DAY)
+    assert sorted(map(tuple, sched_zip.collect())) == sorted(map(tuple, sched_dir.collect()))
+
+
 def test_services_active_on(spark, gtfs_dir):
     gtfs = load_gtfs(spark, gtfs_dir)
     active = {r.service_id for r in services_active_on(gtfs["calendar"], gtfs["calendar_dates"], DAY).collect()}

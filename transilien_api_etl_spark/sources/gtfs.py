@@ -109,6 +109,29 @@ def load_gtfs(spark: SparkSession, gtfs_dir: str) -> dict[str, DataFrame]:
     return {name: load_gtfs_table(spark, gtfs_dir, name) for name in GTFS_SCHEMAS}
 
 
+def load_gtfs_zip(spark: SparkSession, zip_path: str) -> dict[str, DataFrame]:
+    """GTFS feed from the published zip (the reference's actual input shape):
+    extract once driver-side — feeds are MBs, the cost is the download, not
+    the unzip — then scan the member CSVs with declared schemas. Missing
+    optional members (e.g. ``calendar_dates``) load as empty frames so the
+    downstream plan shape never changes.
+    """
+    import tempfile
+    import zipfile
+
+    out_dir = tempfile.mkdtemp(prefix="gtfs_feed_")
+    with zipfile.ZipFile(zip_path) as zf:
+        members = {m for m in zf.namelist() if m.endswith(".txt")}
+        zf.extractall(out_dir, members=members)
+    feeds: dict[str, DataFrame] = {}
+    for name, schema in GTFS_SCHEMAS.items():
+        if f"{name}.txt" in members:
+            feeds[name] = load_gtfs_table(spark, out_dir, name)
+        else:
+            feeds[name] = spark.createDataFrame([], schema)
+    return feeds
+
+
 def services_active_on(
     calendar: DataFrame, calendar_dates: DataFrame, yyyymmdd: str
 ) -> DataFrame:
