@@ -253,3 +253,36 @@ def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("status", "band")
     )
+
+
+@register(
+    "fn_date_arithmetic",
+    doc="Date arithmetic surface (SURVEY §3 F1): add_months, months_between, "
+    "last_day, date_add, datediff vs a fixed anchor — all engine-portable "
+    "integer/date math.",
+    tags=("functions", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)  AS plus_3m,
+       CAST(last_day(o_orderdate) AS TIMESTAMP)           AS month_end,
+       CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP)   AS plus_45d,
+       datediff('day', DATE '1995-01-01', o_orderdate)    AS days_since_95,
+       round(datediff('day', DATE '1995-01-01', o_orderdate) / 30.4375, 4)
+                                                          AS approx_months
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+""",
+)
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_add(d, 45).cast("timestamp").alias("plus_45d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.round(
+            F.datediff(d, F.lit("1995-01-01").cast("date")) / F.lit(30.4375), 4
+        ).alias("approx_months"),
+    ).orderBy("o_orderkey")

@@ -233,3 +233,35 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete", "sessionwin").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "streaming_sliding_10m_5m",
+    doc="T3 streaming twin of events_sliding_10m_5m: overlapping windows "
+    "over the micro-batch source, complete mode. Shares the batch oracle.",
+    tags=("streaming",),
+    oracle="""
+WITH ws AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w0
+  FROM events
+), ex AS (
+  SELECT event_type, value, w0 AS window_start FROM ws
+  UNION ALL
+  SELECT event_type, value, w0 - INTERVAL 5 MINUTE FROM ws
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def streaming_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_stream_to_memory(agg, "complete", "sliding").orderBy(
+        "window_start", "event_type"
+    )

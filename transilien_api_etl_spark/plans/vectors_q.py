@@ -259,3 +259,34 @@ def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "fn_array_higher_order",
+    doc="Higher-order array function surface (SURVEY §3 F5): filter (count "
+    "of positive elements), exists (any element > 0.9), slice-head sum — "
+    "all JVM-side lambdas, no UDF, no explode.",
+    tags=("vectors", "arrays", "functions"),
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0.9)) > 0 AS has_big,
+       round(list_sum((embedding::DOUBLE[])[1:8]), 8) AS head8_sum
+FROM embeddings ORDER BY vec_id
+""",
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(dbl, lambda x: x > 0)).cast("int").alias("n_pos"),
+            F.exists(dbl, lambda x: x > 0.9).alias("has_big"),
+            F.round(
+                F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 8
+            ).alias("head8_sum"),
+        )
+        .orderBy("vec_id")
+    )

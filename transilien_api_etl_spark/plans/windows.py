@@ -167,3 +167,35 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "window_ntile_pct",
+    doc="Distribution analytics (SURVEY §3 W1 family): order-price quartile "
+    "(ntile), percent_rank and cume_dist per order priority — single window "
+    "sort serves all three.",
+    tags=("window",),
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       round(percent_rank() OVER w, 8) AS pct_rank,
+       round(cume_dist() OVER w, 8) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("int").alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 8).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
