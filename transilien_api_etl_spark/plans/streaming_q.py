@@ -265,3 +265,46 @@ def streaming_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete", "sliding").orderBy(
         "window_start", "event_type"
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    doc="Stream-stream inner join with watermarks (beyond T8's stream-static "
+    "form): purchase stream ⋈ click stream per user within a 30-minute "
+    "window after the click. Both sides watermarked so join state evicts; "
+    "oracle is the equivalent batch range join.",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "click_ts", "purchase_ts")
+    return run_stream_to_memory(joined, "append", "ssjoin").orderBy(
+        "purchase_id", "click_id"
+    )
