@@ -17,6 +17,11 @@ from transilien_api_etl_spark.operators.dedup import (  # noqa: F401
     minhash_signature_pairs,
 )
 from transilien_api_etl_spark.operators.joins import asof_join, range_join  # noqa: F401
+from transilien_api_etl_spark.operators.scd import (  # noqa: F401
+    as_of_view,
+    current_view,
+    scd2_merge,
+)
 from transilien_api_etl_spark.operators.sessionize import sessionize  # noqa: F401
 from transilien_api_etl_spark.operators.skew import (  # noqa: F401
     salted_agg,
