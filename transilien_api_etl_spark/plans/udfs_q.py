@@ -270,3 +270,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_payload(d), frame_size=256, every_n=4)
     return frames.select("doc_id", "frame_idx", "frame_bytes").orderBy("doc_id", "frame_idx")
+
+
+# NOTE (T7): PySpark 4.1.2's transformWithStateInPandas was evaluated as the
+# modern successor to applyInPandasWithState, but its TWS driver worker
+# crashes in this environment even on the minimal upstream example (rate
+# source + ValueState; "TransformWithStateInPySpark driver worker exited
+# unexpectedly"), with the RocksDB state store provider configured. T7 is
+# therefore covered by applyInPandasWithState (streaming_stateful_running_max
+# above), which is stable here and carries the same arbitrary-state semantics.
