@@ -55,3 +55,47 @@ def test_union_strategy_rejects_unsupported(spark):
             e, e, on=["user_id"], left_ts="ts", right_ts="ts",
             left_keys=["event_id"], direction="forward", strategy="union",
         )
+
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # (user, seconds-offset, is_click) event tuples, incl. hot keys
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=7200),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_union_matches_join_on_generated_data(spark, events):
+    base = datetime(2026, 1, 1)
+    rows = [
+        (i, u, base + timedelta(seconds=s), "click" if c else "purchase")
+        for i, (u, s, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, typ string")
+    left = df.filter(F.col("typ") == "purchase").select("event_id", "user_id", "ts")
+    right = df.filter(F.col("typ") == "click").select("user_id", "event_id", "ts")
+    if not left.count():
+        return
+
+    def run(strategy):
+        m = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            left_keys=["event_id"], direction="backward", strategy=strategy,
+        )
+        return sorted(
+            (r["pid"], r["cid"])
+            for r in m.select(
+                F.col("l.event_id").alias("pid"), F.col("r.event_id").alias("cid")
+            ).collect()
+        )
+
+    assert run("union") == run("join")
