@@ -25,12 +25,12 @@ NLJ_ALLOWED = {
     "knn_ivf_top10",
     "dedup_embedding_cosine",
     "docs_shingle_jaccard",
-    "dedup_exact_rows",
-    "range_join_clicks_before_purchase",
-    "udtf_explode_shingles",
 }
 
 FACT_QUERIES = [
+    "range_join_clicks_before_purchase",  # equi key → hash join, range post-filtered
+    "dedup_exact_rows",
+    "udtf_explode_shingles",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
