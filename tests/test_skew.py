@@ -58,3 +58,14 @@ def test_salt_is_deterministic_and_bounded(spark):
     assert s1 == s2
     assert all(0 <= s < 16 for s in s1)
     assert len(set(s1)) > 1  # actually spreads
+
+
+def test_connected_components_chain_and_islands(spark):
+    from transilien_api_etl_spark.operators.components import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), pair {10,11}, singleton edges none for 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(edges, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

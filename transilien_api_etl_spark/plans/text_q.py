@@ -361,3 +361,48 @@ def docs_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+from transilien_api_etl_spark.operators.components import connected_components
+from transilien_api_etl_spark.plans.registry import REGISTRY as _REG
+
+_JACCARD_ORACLE = _REG["docs_shingle_jaccard"].oracle
+
+
+@register(
+    "docs_dup_clusters",
+    doc="Near-dup clustering (SURVEY §3 F10 — the keep-one step after "
+    "candidate generation): connected components over the jaccard>=0.05 "
+    "pair graph via iterative min-label propagation; each cluster reports "
+    "its canonical (min) doc and sorted member list. Oracle: recursive-CTE "
+    "transitive closure over the identical pair SQL.",
+    tags=("dedup", "text", "clustering"),
+    oracle=f"""
+WITH RECURSIVE jac AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT rc.node, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+SELECT cluster AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       list_sort(list(node)) AS members
+FROM lbl GROUP BY cluster ORDER BY cluster_id
+""",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    pairs = _REG["docs_shingle_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
