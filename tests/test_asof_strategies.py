@@ -13,7 +13,8 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("tolerance", [None, 3600])
-def test_union_matches_join_strategy(spark, tolerance):
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_union_matches_join_strategy(spark, tolerance, direction):
     e = load_table(spark, SF, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
@@ -26,7 +27,7 @@ def test_union_matches_join_strategy(spark, tolerance):
             left_ts="ts",
             right_ts="ts",
             left_keys=["event_id"],
-            direction="backward",
+            direction=direction,
             tolerance_seconds=tolerance,
             strategy=strategy,
         )
@@ -53,7 +54,12 @@ def test_union_strategy_rejects_unsupported(spark):
     with pytest.raises(ValueError):
         asof_join(
             e, e, on=["user_id"], left_ts="ts", right_ts="ts",
-            left_keys=["event_id"], direction="forward", strategy="union",
+            left_keys=["event_id"], direction="sideways", strategy="union",
+        )
+    with pytest.raises(ValueError):
+        asof_join(
+            e, e, on=["user_id"], left_ts="ts", right_ts="ts",
+            left_keys=["event_id"], how="inner", strategy="union",
         )
 
 

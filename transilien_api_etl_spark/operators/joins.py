@@ -44,12 +44,13 @@ def asof_join(
     should order-determinize by including a unique right id in the frame,
     which we do by sorting on all of (right_ts, right columns).
 
-    ``strategy='union'`` (backward, left-join only) uses the merge-scan
-    recipe instead: union both sides tagged, one window sort per key, and
-    ``last(right_struct, ignorenulls)`` carries the latest right row onto
-    each left row. No join fan-out at all — per-key cost is O(n log n)
-    instead of O(n_left × n_right), which is what survives hot keys at
-    100 TB. Semantics match ``strategy='join'`` exactly (same tie-break).
+    ``strategy='union'`` (left-join only) uses the merge-scan recipe
+    instead: union both sides tagged, one window sort per key, and
+    ``last(right_struct, ignorenulls)`` carries the nearest right row onto
+    each left row (forward = the same scan over reversed time). No join
+    fan-out at all — per-key cost is O(n log n) instead of
+    O(n_left × n_right), which is what survives hot keys at 100 TB.
+    Semantics match ``strategy='join'`` exactly (same tie-break).
     """
     if strategy == "union":
         return _asof_union(
@@ -91,13 +92,15 @@ def _asof_union(
     tolerance_seconds: int | None,
     how: str,
 ) -> DataFrame:
-    """Union/merge-scan backward as-of (see ``asof_join`` docstring).
+    """Union/merge-scan as-of (see ``asof_join`` docstring).
 
     Output schema matches the join strategy: left columns under alias ``l``,
-    right columns under ``r`` (null structs where no match).
+    right columns under ``r`` (null structs where no match). Backward scans
+    time ascending; forward is the identical scan over descending time.
     """
-    if direction != "backward" or how != "left":
-        raise ValueError("strategy='union' supports direction='backward', how='left'")
+    if direction not in ("backward", "forward") or how != "left":
+        raise ValueError("strategy='union' supports direction backward/forward, how='left'")
+    backward = direction == "backward"
     rcols = [c for c in right.columns if c not in on]
     tie = [c for c in rcols if c != right_ts]
     l_tagged = left.select(
@@ -114,12 +117,14 @@ def _asof_union(
         F.lit(None).cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType).alias("__l"),
         F.struct(*rcols).alias("__r"),
     )
-    # Right rows sort BEFORE left rows at equal ts (c.ts <= p.ts is a match);
-    # among right ties the greatest (ts, tie cols) is seen last → wins, which
-    # matches the join strategy's desc tie-break.
+    # Right rows sort BEFORE left rows at equal ts (ts-equal rows match);
+    # among right ties the desired winner (max tie cols, matching the join
+    # strategy's desc tie-break) is seen last → wins the running last().
+    # Forward direction runs the identical scan over descending time.
+    ts_order = F.col("__ts").asc() if backward else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), *[F.col(f"__r.{c}").asc_nulls_first() for c in tie])
+        .orderBy(ts_order, F.col("__is_right").desc(), *[F.col(f"__r.{c}").asc_nulls_first() for c in tie])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (
@@ -128,8 +133,11 @@ def _asof_union(
         .filter(F.col("__is_right") == 0)
     )
     if tolerance_seconds is not None:
-        in_tol = F.col(f"__match.{right_ts}") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance_seconds} SECONDS"
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        in_tol = (
+            F.col(f"__match.{right_ts}") >= F.col("__ts") - tol
+            if backward
+            else F.col(f"__match.{right_ts}") <= F.col("__ts") + tol
         )
         matched = matched.withColumn(
             "__match", F.when(in_tol, F.col("__match")).otherwise(F.lit(None))

@@ -286,3 +286,76 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(d, F.lit("1995-01-01").cast("date")) / F.lit(30.4375), 4
         ).alias("approx_months"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_levenshtein_sources",
+    doc="Fuzzy string matching (SURVEY §3 F2/F10 — dedup building block): "
+    "edit distance between every distinct pair of document source labels.",
+    tags=("functions", "strings", "dedup"),
+    oracle="""
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(levenshtein(a.source, b.source) AS INT) AS edit_dist
+FROM s a JOIN s b ON a.source < b.source
+ORDER BY src_a, src_b
+""",
+)
+def fn_levenshtein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.levenshtein("src_a", "src_b").cast("int").alias("edit_dist"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    doc="Unpivot / melt (SURVEY §3 — inverse of pivot): lineitem's four "
+    "measure columns to (measure, value) long form via df.unpivot; oracle "
+    "is the UNION ALL expansion.",
+    tags=("setop", "unpivot"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    renamed = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return (
+        renamed.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["qty", "price", "discount", "tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("val", F.round("val", 2))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )

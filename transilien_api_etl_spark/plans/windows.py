@@ -199,3 +199,40 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "window_first_last_nth",
+    doc="Frame-edge analytics (SURVEY §3 W-family): per user, the first / "
+    "last / 2nd event value over the full-partition frame — "
+    "first_value/last_value/nth_value with explicit unbounded frames.",
+    tags=("window",),
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val,
+       nth_value(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id
+""",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+            F.nth_value("value", 2).over(w).alias("second_val"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
