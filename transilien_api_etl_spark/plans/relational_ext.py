@@ -438,3 +438,37 @@ def q7_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation", "y")
     )
+
+
+@register(
+    "agg_percentile_approx_twin",
+    doc="percentile_approx next to the exact percentile (SURVEY §3 A3, "
+    "§6.2 approx-twin pattern): the oracle hashes the exact p50/p95 and a "
+    "boolean asserting the approx sketch landed within 2% relative error.",
+    tags=("agg", "approx"),
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+       TRUE AS approx_within_2pct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def agg_percentile_approx_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_a"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_a"),
+    )
+    ok = (F.abs(F.col("p50_a") - F.col("p50")) <= 0.02 * F.col("p50")) & (
+        F.abs(F.col("p95_a") - F.col("p95")) <= 0.02 * F.col("p95")
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("p50", 2).alias("p50_exact"),
+        F.round("p95", 2).alias("p95_exact"),
+        ok.alias("approx_within_2pct"),
+    ).orderBy("o_orderpriority")
