@@ -1,11 +1,24 @@
 #!/usr/bin/env python
 """Headline benchmark — the driver's per-round performance probe.
 
-Runs every ``bench=True`` query from the registry at
+Phase 1 (sf bench): runs every ``bench=True`` query from the registry at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Phase 2 (compute-bound bench): materializes an amplified copy of the fact
+tables (10× lineitem/orders, 100× events, 20× documents, 50× embeddings —
+see transilien_api_etl_spark/scale.py) into a cache dir inside the repo,
+then times the SAME queries there twice: once on Spark, once by running each
+query's DuckDB oracle SQL on views over the SAME parquet. At this scale the
+fixed ~0.2-0.5 s Spark scheduling overhead amortizes and the ratio measures
+plan quality, which is what has to survive a 100× scale-up. Disable with
+SPARK_GRAFT_SCALE=0.
+
+Prints exactly ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "scale": {"rows": {...}, "spark": {...}, "duckdb": {...},
+               "ratio": {...}, "ratio_median": N}}
 
 Timing discipline: one shared SparkSession (a cluster user amortizes JVM
 startup the same way), one untimed warm-up query to JIT the codegen paths,
@@ -18,16 +31,23 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
 
 from transilien_api_etl_spark import plans  # noqa: E402
-from transilien_api_etl_spark.plans.registry import bench_queries  # noqa: E402
+from transilien_api_etl_spark.io import TABLES  # noqa: E402
+from transilien_api_etl_spark.plans.registry import REGISTRY, bench_queries  # noqa: E402
 from transilien_api_etl_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO_DIR, ".scale_cache", "v1")
+)
+RUN_SCALE = os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
 
 
 def sf_from_dir(path: str) -> float:
@@ -36,6 +56,46 @@ def sf_from_dir(path: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def time_spark(specs, spark, data_dir, reps) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        best, n = float("inf"), 0
+        for _ in range(reps):  # best-of-N: measures the plan, not JIT/GC noise
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, data_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def time_duckdb(specs, data_dir, reps) -> dict[str, float]:
+    """Run each query's oracle SQL on DuckDB views over the same parquet."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        sql = REGISTRY[name].oracle
+        if not sql:
+            continue
+        con.execute(sql).fetchall()  # warm (I/O cache, duckdb compile)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
+    con.close()
+    return timings
 
 
 def main() -> None:
@@ -47,28 +107,42 @@ def main() -> None:
     warm = specs.get("q1_pricing_summary") or next(iter(specs.values()))
     warm.fn(spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        best, n = float("inf"), 0
-        for _ in range(2):  # best-of-2: measures the plan, not JIT/GC noise
-            t0 = time.perf_counter()
-            n = specs[name].fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-
+    timings = time_spark(specs, spark, SF_DIR, reps=3)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
+
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+
+    if RUN_SCALE:
+        from transilien_api_etl_spark.scale import DEFAULT_FACTORS, materialize_scale
+
+        t0 = time.perf_counter()
+        rows = materialize_scale(spark, SF_DIR, SCALE_DIR)
+        print(
+            f"# scale data ready in {time.perf_counter() - t0:.1f}s: {rows}",
+            file=sys.stderr,
         )
-    )
+        warm.fn(spark, SCALE_DIR).count()
+        spark_t = time_spark(specs, spark, SCALE_DIR, reps=2)
+        duck_t = time_duckdb(specs, SCALE_DIR, reps=2)
+        ratio = {
+            q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
+        }
+        result["scale"] = {
+            "factors": DEFAULT_FACTORS,
+            "rows": rows,
+            "spark": spark_t,
+            "duckdb": duck_t,
+            "ratio": ratio,
+            "ratio_median": round(statistics.median(ratio.values()), 3) if ratio else None,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

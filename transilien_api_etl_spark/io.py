@@ -163,13 +163,36 @@ def _events_ns_to_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+_TS_IS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet stores ts as TIMESTAMP(NANOS).
+
+    The driver-generated testdata writes nanosecond timestamps (which Spark
+    can only read as a raw long via ``legacy.parquet.nanosAsLong``); files we
+    re-materialize ourselves (scale bench, sinks) are standard µs. One cached
+    pyarrow footer read per path decides which read schema applies — cheap,
+    driver-side, no Spark job.
+    """
+    if path not in _TS_IS_NANOS_CACHE:
+        import pyarrow.dataset as ds
+
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+        _TS_IS_NANOS_CACHE[path] = getattr(field.type, "unit", None) == "ns"
+    return _TS_IS_NANOS_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with a declared schema (S1)."""
-    if name == "events":
+    path = table_path(sf_dir, name)
+    if name == "events" and _events_ts_is_nanos(path):
+        # Session invariant (also pinned in build_session/ensure_query_confs):
+        # nanosAsLong must be on to scan TIMESTAMP(NANOS) parquet at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(_EVENTS_RAW).parquet(table_path(sf_dir, name))
+        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
         return _events_ns_to_ts(raw)
-    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,0 +1,149 @@
+"""Compute-bound data amplifier for the benchmark (SURVEY §7 posture).
+
+The sf0.1 bench inputs (600 k-row lineitem, 100 k-row events) are so small
+that every Spark query is scheduling/codegen overhead, not plan cost — the
+2× bar against an in-process engine is unmeasurable there. This module
+materializes an N×-replicated copy of the fact tables (dimensions copied
+verbatim — at 100 TB facts grow, dims don't), with the SAME table names and
+file layout as a testdata sf dir, so that
+
+- every registered query runs on it unchanged via ``io.load_table``, and
+- every DuckDB oracle runs on it unchanged via parquet views,
+
+giving a same-data Spark-vs-DuckDB comparison at a scale where the plan,
+not the fixed overhead, is what is being timed.
+
+Replication widens key spaces (replica index shifts the primary key by a
+stride larger than any real key) and jitters event timestamps by a few
+seconds per replica, so join fan-in, group-by cardinality, and session
+shapes grow proportionally — the realistic 100 TB shape: more keys, not
+hotter keys. Foreign keys into the un-replicated dimensions are left
+untouched so star joins stay dim-broadcast + big-fact, exactly as they
+would on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+
+# Fact-table replication factors: ~6 M lineitem / 1.5 M orders / 10 M events
+# / 100 k documents / 100 k embeddings from the sf0.1 inputs.
+DEFAULT_FACTORS: dict[str, int] = {
+    "lineitem": 10,
+    "orders": 10,
+    "events": 100,
+    "documents": 20,
+    "embeddings": 50,
+}
+UNSCALED = ("region", "nation", "customer", "supplier", "part")
+
+# Added to each table's primary key per replica; > any generated key at any
+# sf in the driver testdata, so replicated keys never collide.
+KEY_STRIDE = 1 << 33
+
+
+def _scale_table(spark: SparkSession, sf_dir: str, name: str, replicas: int) -> DataFrame:
+    df = load_table(spark, sf_dir, name)
+    wide = df.crossJoin(
+        F.broadcast(spark.range(replicas).select(F.col("id").alias("rep")))
+    )
+    rep = F.col("rep")
+    shift = rep * F.lit(KEY_STRIDE)
+    if name == "orders":
+        out = wide.select(
+            (F.col("o_orderkey") + shift).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    elif name == "lineitem":
+        out = wide.select(
+            (F.col("l_orderkey") + shift).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    elif name == "events":
+        # widen the user key-space and jitter ts so sessions/windows stay
+        # realistic instead of collapsing into 100-way exact duplicates
+        out = wide.select(
+            (F.col("event_id") + shift).alias("event_id"),
+            (F.col("ts") + F.make_interval(secs=(rep % 97))).alias("ts"),
+            (F.col("user_id") + rep * F.lit(1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    elif name == "documents":
+        out = wide.select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    elif name == "embeddings":
+        out = wide.select(
+            (F.col("vec_id") + shift).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    else:  # pragma: no cover - caller passes fact tables only
+        raise ValueError(f"not a scalable fact table: {name}")
+    return out
+
+
+def materialize_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    factors: dict[str, int] | None = None,
+    partitions: int = 32,
+) -> dict[str, int]:
+    """Write the amplified sf dir; returns row counts. Idempotent via marker.
+
+    Layout matches a testdata dir (``<out>/<table>.parquet``) — scaled facts
+    become parquet directories, untouched dimensions are copied as files.
+    """
+    factors = factors or DEFAULT_FACTORS
+    out = pathlib.Path(out_dir)
+    marker = out / "_SCALE_OK"
+    if marker.exists():
+        import json
+
+        return json.loads(marker.read_text())
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    counts: dict[str, int] = {}
+    for name in UNSCALED:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        shutil.copy(src, out / f"{name}.parquet")
+    for name, replicas in factors.items():
+        df = _scale_table(spark, sf_dir, name, replicas)
+        df.repartition(partitions).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
+        counts[name] = spark.read.parquet(str(out / f"{name}.parquet")).count()
+
+    import json
+
+    marker.write_text(json.dumps(counts))
+    return counts

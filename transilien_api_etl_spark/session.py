@@ -45,10 +45,25 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Measured (interleaved A/B, best-of-3 × 2 sessions, sf0.1):
+        # parallelismFirst=false and autoBroadcastJoinThreshold=64m cost ~4%
+        # total here (single-partition coalesce serializes window sorts at
+        # small inputs), so defaults stay. Revisit per-deployment at cluster
+        # scale where 64 MB reducers and plan-time dim broadcast are right.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Write µs-annotated timestamps, not legacy INT96: INT96 defeats
+        # predicate pushdown, confuses footer-based type detection (pyarrow
+        # reports it as ns), and is deprecated in the parquet spec.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Session invariant: the driver testdata's events.ts is parquet
+        # TIMESTAMP(NANOS), readable only as a raw long under this flag.
+        # io.load_table consults the parquet footer and only applies the
+        # long-read schema to genuinely-nanos files, so µs parquet written by
+        # this engine is unaffected by the flag.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
@@ -98,5 +113,6 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ship_package(spark)
     return spark
