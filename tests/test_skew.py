@@ -69,3 +69,11 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.cluster for r in connected_components(edges, "a", "b").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on=["k"], skewed_id_cols=["k"], how="full")

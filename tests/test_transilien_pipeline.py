@@ -223,3 +223,23 @@ def test_sinks_roundtrip(spark, schedule, tmp_path):
     upsert_by_key(df1, upsert_path, ["key"], "version")
     got = {r.key: r.val for r in spark.read.parquet(upsert_path).collect()}
     assert got == {"k1": "newer", "k2": "only", "k3": "fresh"}
+
+
+def test_delay_board_dedups_repeated_polls(spark, schedule, observed):
+    # The realtime shape is repeated polls: the same train observed at 08:03
+    # (an earlier poll) AND 08:05 (the later one already in `observed`). The
+    # board must keep one row per scheduled stop using the LATEST poll.
+    earlier = spark.createDataFrame(
+        [("87271007", _xml("87271007", [_train("123401", "02/01/2026 08:03", etat="Retardé")]))],
+        "station string, xml string",
+    )
+    two_polls = observed.unionByName(normalize_passages(parse_passages(earlier)))
+    board = delay_board(schedule, two_polls)
+    rows = board.collect()
+    assert len(rows) == 5  # no fan-out from the repeated poll
+    by_key = {(r.station7, r.train_num, r.stop_sequence): r for r in rows}
+    kept = by_key[("8727100", 123401, 1)]
+    assert str(kept.expected_ts) == "2026-01-02 08:05:00"  # latest poll wins
+    assert kept.delay_s == 4 * 60
+    stats = {r.station7: r for r in delay_stats(board, ["station7"]).collect()}
+    assert stats["8727100"].n_passages == 4  # unchanged vs single-poll board

@@ -83,3 +83,41 @@ def test_scd2_merge_versions_and_views(spark):
     # idempotent: replaying day 2 adds nothing
     hist3 = scd2_merge(hist2, day2, ["stop_id"], ["stop_name"], "observed")
     assert hist3.count() == 4
+
+
+def test_scd2_merge_multi_snapshot_batch(spark):
+    # One batch carrying SEVERAL snapshots per key must sequence them:
+    # versions chain valid_to = next valid_from, exactly one open version
+    # per key, exact-duplicate and consecutive-unchanged snapshots collapse.
+    base = spark.createDataFrame(
+        [("s1", "Nord", "2026-01-01 00:00:00")],
+        "stop_id string, stop_name string, observed string",
+    ).withColumn("observed", F.col("observed").cast("timestamp"))
+    hist = scd2_merge(None, base, ["stop_id"], ["stop_name"], "observed")
+
+    batch = spark.createDataFrame(
+        [
+            ("s1", "Nord", "2026-02-01 00:00:00"),       # == open version: no new row
+            ("s1", "Paris Nord", "2026-03-01 00:00:00"), # v2
+            ("s1", "Paris Nord", "2026-03-15 00:00:00"), # unchanged vs v2: dropped
+            ("s1", "Paris-Nord", "2026-04-01 00:00:00"), # v3
+            ("s1", "Paris-Nord", "2026-04-01 00:00:00"), # exact dup: dropped
+            ("s2", "A", "2026-01-10 00:00:00"),          # new key, v1
+            ("s2", "B", "2026-01-20 00:00:00"),          # new key, v2
+        ],
+        "stop_id string, stop_name string, observed string",
+    ).withColumn("observed", F.col("observed").cast("timestamp"))
+    hist2 = scd2_merge(hist, batch, ["stop_id"], ["stop_name"], "observed")
+
+    rows = {
+        (r.stop_id, r.stop_name): (str(r.valid_from), str(r.valid_to))
+        for r in hist2.collect()
+    }
+    assert hist2.count() == len(rows) == 5  # no duplicated closed rows
+    assert rows[("s1", "Nord")] == ("2026-01-01 00:00:00", "2026-03-01 00:00:00")
+    assert rows[("s1", "Paris Nord")] == ("2026-03-01 00:00:00", "2026-04-01 00:00:00")
+    assert rows[("s1", "Paris-Nord")][1] == "9999-12-31 00:00:00"
+    assert rows[("s2", "A")] == ("2026-01-10 00:00:00", "2026-01-20 00:00:00")
+    assert rows[("s2", "B")][1] == "9999-12-31 00:00:00"
+    # invariant: exactly one open version per key
+    assert current_view(hist2).groupBy("stop_id").count().filter("count > 1").count() == 0

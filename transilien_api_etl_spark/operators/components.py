@@ -2,21 +2,59 @@
 the step after candidate generation: similar-pairs → clusters → one
 canonical survivor per cluster).
 
-Iterative min-label propagation on DataFrames: each node takes the min of
-its own label and its neighbors' labels until fixpoint. Lineage is
-truncated per iteration (localCheckpoint) so the plan doesn't grow
-exponentially; convergence needs O(graph diameter) rounds — near-dup
-clusters are shallow, so this is a handful of small shuffles.
+Alternating large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) on DataFrames:
 
-At 100 TB use the large-star/small-star variant (halves diameter per
-round, same DataFrame primitives); propagation here is the readable core
-the optimization shares.
+- large-star: every node hooks its LARGER neighbors onto the minimum of its
+  neighborhood (incl. itself);
+- small-star: every node hooks its smaller neighbors (and itself) onto the
+  neighborhood minimum.
+
+Each round is two hash-aggregations + two joins, all keyed on the node id
+(one shuffle each), and the component diameter roughly halves per round —
+convergence in O(log d) rounds vs O(d) for plain min-label propagation, the
+difference between 4 and 10 000 shuffles on a chain-shaped dup cluster at
+100 TB. Lineage is truncated per round (localCheckpoint) so the plan stays
+flat; convergence is detected by an (count, xxhash64-sum) signature of the
+edge set — one tiny driver-side action per round.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Hook strictly-larger neighbors onto min(N(u) ∪ {u}).
+
+    Input/output edges are (a, b) with a > b.
+    """
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    m = F.least(F.col("a"), F.col("mn")).alias("m")
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))  # larger neighbors only
+        .select(F.col("b").alias("a"), m.alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Hook each node and its smaller neighbors onto the neighborhood min.
+
+    Input edges are (a, b) with a > b (large-star output shape); all of
+    N(a) is therefore smaller than a and min(N(a) ∪ {a}) = min(N(a)).
+    """
+    mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+    self_edge = mins.select("a", F.col("mn").alias("b"))
+    nbr_edges = (
+        e.join(mins, "a")
+        .filter(F.col("b") != F.col("mn"))
+        .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+    )
+    return self_edge.unionByName(nbr_edges).distinct()
 
 
 def connected_components(
@@ -27,31 +65,29 @@ def connected_components(
     ``edges`` is an undirected pair list (each pair once is enough).
     Returns (node, cluster) — cluster = min member id.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("s").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    prev_sig: tuple | None = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-            .withColumnRenamed("s", "node")
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor: order-independent, overflow-free (the edge set is
+                # distinct, so xor-cancellation of duplicates can't occur)
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            ).first()
         )
-        new_labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
-        ).localCheckpoint(eager=True)
-        changed = (
-            labels.withColumnRenamed("lbl", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.withColumnRenamed("lbl", "cluster")
+        if sig == prev_sig:
+            labels = e.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+            roots = e.select(F.col("b").alias("node"), F.col("b").alias("cluster"))
+            return labels.unionByName(roots).distinct()
+        prev_sig = sig
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

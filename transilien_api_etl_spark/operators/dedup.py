@@ -29,19 +29,80 @@ def canonical_row_hash(cols: list[str], sep: str = "|") -> Column:
     return F.sha2(F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]), 256)
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    min_jaccard: float = 0.05,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Returns (doc_a, doc_b, n_shared, jaccard) for pairs with
+    jaccard ≥ ``min_jaccard`` (doc_a < doc_b; jaccard unrounded).
+
+    ``max_df`` stop-lists hot shingles BEFORE the self-join: a shingle
+    present in k docs contributes k² rows to the join, so one piece of
+    boilerplate shared by 10⁵ docs would emit 10¹⁰ rows. Shingles with
+    document frequency above the cap are removed from the shingle sets
+    entirely (intersections AND sizes — classic stop-word semantics, so
+    jaccard stays a true set similarity over the kept shingles). ``None``
+    disables the cap.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles_col)).alias("sh")
+    )
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.id"))
+        .join(sb, F.col("doc_b") == F.col("sb.id"))
+        .filter(jac >= min_jaccard)
+        .select("doc_a", "doc_b", F.col("inter").alias("n_shared"), jac.alias("jaccard"))
+    )
+
+
 def minhash_signature_pairs(
     df: DataFrame,
     id_col: str,
     tokens_col: Column,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Signature: for seed s, min over tokens of xxhash64(token, s). Banding:
     hash each run of ``band_size`` signature slots; docs sharing any band
     bucket become a candidate pair. Returns (id_a, id_b, n_shared_bands).
+
+    ``max_bucket_size`` bounds the self-join fan-out at scale: a band bucket
+    holding k docs emits k² candidate rows, so one degenerate bucket (e.g.
+    boilerplate-heavy corpora where thousands of docs share a band) can
+    dominate the whole job. Buckets larger than the cap are dropped — their
+    members are near-identical to so many others that the remaining bands
+    still recall them. ``None`` disables the cap (exact oracle twins).
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of band_size "
+            f"({band_size}); trailing signature slots would be silently "
+            "dropped, lowering recall vs the configured width"
+        )
     tok = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col)).alias("tok"))
     sig_aggs = [
         F.min(F.xxhash64(F.col("tok"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)
@@ -59,6 +120,13 @@ def minhash_signature_pairs(
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionByName(extra)
+    if max_bucket_size is not None:
+        sz = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(sz))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -62,14 +62,28 @@ def delay_board(scheduled: DataFrame, observed: DataFrame) -> DataFrame:
     result shape): every scheduled stop for the day, enriched with the
     observed passage where one matched — LEFT join, so unobserved stops keep
     ``delay_s`` null and ``status`` 'unobserved'.
+
+    ``observed`` is normally the union of many realtime polls, so several
+    observed passages (distinct ``expected_ts``) can match the SAME
+    scheduled stop; the board keeps only the latest poll per scheduled stop
+    (freshest prediction), so the left join stays 1:1 and ``delay_stats``
+    counts each scheduled stop once.
     """
-    obs = with_delay(match_passages(scheduled, observed)).select(
-        *MATCH_KEY,
-        "scheduled_ts",
-        "expected_ts",
-        "delay_s",
-        "status",
-        "realtime",
+    matched = with_delay(match_passages(scheduled, observed))
+    w_latest = Window.partitionBy(*MATCH_KEY, "scheduled_ts").orderBy(
+        F.col("expected_ts").desc()
+    )
+    obs = (
+        matched.withColumn("_poll_rn", F.row_number().over(w_latest))
+        .filter(F.col("_poll_rn") == 1)
+        .select(
+            *MATCH_KEY,
+            "scheduled_ts",
+            "expected_ts",
+            "delay_s",
+            "status",
+            "realtime",
+        )
     )
     return (
         scheduled.join(obs, [*MATCH_KEY, "scheduled_ts"], "left")

@@ -33,52 +33,78 @@ def scd2_merge(
     ``current`` has key_cols + change_cols + ``valid_from``/``valid_to``
     (open rows carry ``valid_to = 9999-12-31``); pass ``None`` to bootstrap.
     ``incoming`` has key_cols + change_cols + ``effective_col`` (the
-    observation time). Rows whose ``change_cols`` are unchanged vs the open
-    version are dropped (no spurious versions); changed/new keys close the
-    open row at the incoming effective time and append the new version.
+    observation time) and MAY carry several snapshots per key in one batch:
+    snapshots are sequenced per key by effective time (ties collapse to one
+    deterministic survivor), consecutive unchanged snapshots are compressed
+    away, and surviving versions chain ``valid_to = lead(valid_from)`` so at
+    most one version per key is left open. Keys whose earliest surviving
+    snapshot equals the open version produce no spurious new version.
     """
     open_end = F.lit(OPEN_END).cast("timestamp")
-    fresh = incoming.select(
-        *key_cols,
-        *change_cols,
-        F.col(effective_col).alias("valid_from"),
-        open_end.alias("valid_to"),
+    val = F.struct(*[F.col(c) for c in change_cols])
+
+    # 1. Sequence the batch per key: one row per (key, effective) — equal
+    #    timestamps keep one deterministic survivor — then drop any snapshot
+    #    equal to its predecessor (runs of equal values compress to their
+    #    first element; in a run every non-first row equals its neighbour).
+    w_key = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
+    fresh = (
+        incoming.select(
+            *key_cols, *change_cols, F.col(effective_col).alias("valid_from")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols, "valid_from").orderBy(val.asc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__same_prev", val.eqNullSafe(F.lag(val).over(w_key)))
+        .filter(~F.coalesce(F.col("__same_prev"), F.lit(False)))
+        .drop("__same_prev")
+    )
+
+    if current is not None:
+        is_open = F.col("valid_to") == open_end
+        open_rows = current.filter(is_open)
+        closed_rows = current.filter(~is_open)
+        # 2. Drop each key's FIRST surviving snapshot when it matches the
+        #    open version (no spurious version); later snapshots already
+        #    differ from it by step 1's compression.
+        first_new = F.row_number().over(w_key) == 1
+        fresh = (
+            fresh.alias("n")
+            .join(
+                open_rows.select(*key_cols, val.alias("__open_val")).alias("o"),
+                key_cols,
+                "left",
+            )
+            .withColumn("__first", first_new)
+            .filter(
+                ~(F.col("__first") & val.eqNullSafe(F.col("__open_val")))
+                | F.col("__open_val").isNull()
+            )
+            .select(*key_cols, *change_cols, "valid_from")
+        )
+
+    # 3. Chain versions inside the batch: each closes at the next's start.
+    chained = fresh.withColumn(
+        "valid_to", F.coalesce(F.lead("valid_from").over(w_key), open_end)
     )
     if current is None:
-        return fresh
+        return chained
 
-    is_open = F.col("valid_to") == open_end
-    open_rows = current.filter(is_open)
-    closed_rows = current.filter(~is_open)
-
-    cmp_cols = [F.col(c) for c in change_cols]
-    changed = (
-        fresh.alias("n")
-        .join(open_rows.alias("o"), key_cols, "left")
-        .filter(
-            F.coalesce(
-                ~F.struct(*[F.col(f"n.{c}") for c in change_cols]).eqNullSafe(
-                    F.struct(*[F.col(f"o.{c}") for c in change_cols])
-                ),
-                F.lit(True),  # brand-new key
-            )
-        )
-        .select(*[F.col(f"n.{c}") for c in [*key_cols, *change_cols, "valid_from", "valid_to"]])
+    # 4. Close the previously-open row at the first surviving snapshot.
+    first_from = fresh.groupBy(*key_cols).agg(F.min("valid_from").alias("_new_from"))
+    closed_now = (
+        open_rows.join(first_from, key_cols, "inner")
+        .withColumn("valid_to", F.col("_new_from"))
+        .drop("_new_from")
     )
+    untouched_open = open_rows.join(first_from.select(*key_cols), key_cols, "left_anti")
 
-    # close open rows superseded by a changed version
-    superseded = open_rows.alias("o").join(
-        changed.select(*key_cols, F.col("valid_from").alias("_new_from")).alias("c"),
-        key_cols,
-        "inner",
-    )
-    closed_now = superseded.select(
-        *[F.col(f"o.{c}") for c in [*key_cols, *change_cols, "valid_from"]],
-        F.col("_new_from").alias("valid_to"),
-    )
-    untouched_open = open_rows.join(changed.select(*key_cols), key_cols, "left_anti")
-
-    return closed_rows.unionByName(closed_now).unionByName(untouched_open).unionByName(changed)
+    return closed_rows.unionByName(closed_now).unionByName(untouched_open).unionByName(chained)
 
 
 def current_view(history: DataFrame) -> DataFrame:

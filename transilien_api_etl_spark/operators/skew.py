@@ -44,7 +44,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi join where ``skewed`` has hot keys: join on (keys + salt) so a
     hot key's rows spread over ``n_salt`` shuffle partitions. ``other`` is
-    replicated ×n_salt — keep it the smaller side."""
+    replicated ×n_salt — keep it the smaller side.
+
+    Only inner/left are supported: the replicated side appears once per
+    salt, so right/full outer would emit each unmatched ``other`` row
+    n_salt times.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     left = with_salt(skewed, skewed_id_cols, n_salt)
     right = replicate_over_salt(other, n_salt)
     return left.join(right, [*on, SALT_COL], how).drop(SALT_COL)

@@ -21,11 +21,20 @@ from transilien_api_etl_spark.functions.text import (
     tokenize,
 )
 from transilien_api_etl_spark.io import load_table
-from transilien_api_etl_spark.operators.dedup import canonical_row_hash, minhash_signature_pairs
+from transilien_api_etl_spark.operators.dedup import (
+    canonical_row_hash,
+    jaccard_pairs,
+    minhash_signature_pairs,
+)
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Hot-shingle stop-list threshold for the exact Jaccard path: a shingle in
+# k docs makes k² inverted-index join rows, so the cap bounds per-shingle
+# fan-out regardless of corpus size. Mirrored verbatim in the oracle SQL.
+_JACCARD_MAX_DF = 1000
 
 
 @register(
@@ -218,19 +227,24 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_shingle_jaccard",
     doc="N-gram Jaccard near-dup (SURVEY §3 F10 / BASELINE mandate): 3-word "
-    "shingles → inverted-index self-join → |A∩B|/|A∪B| ≥ 0.05. The exact "
-    "twin of the MinHash path; at 100 TB the shingle join is bounded by "
-    "shingle frequency (hot shingles should be stop-listed).",
+    "shingles → hot-shingle stop-list (document frequency > "
+    "JACCARD_MAX_DF pruned before the join, bounding per-shingle fan-out "
+    "at k² ≤ MAX_DF²) → inverted-index self-join → |A∩B|/|A∪B| ≥ 0.05. "
+    "The exact twin of the MinHash path.",
     tags=("dedup", "text"),
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS s FROM documents
-), sh AS (
+), sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(s) - 2, 0)),
            i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))) AS sh
   FROM tok
+), sh AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+  ) WHERE df <= {_JACCARD_MAX_DF}
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -251,30 +265,16 @@ ORDER BY doc_a, doc_b
 def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(tokenize(F.col("text")), 3))).alias("sh")
+    pairs = jaccard_pairs(
+        d,
+        "doc_id",
+        shingles(tokenize(F.col("text")), 3),
+        min_jaccard=0.05,
+        max_df=_JACCARD_MAX_DF,
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.05)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").alias("n_shared"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared", F.round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
