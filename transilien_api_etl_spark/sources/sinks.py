@@ -8,8 +8,10 @@
   partition overwrite so re-running a day is idempotent, never duplicating.
 - ``read_jdbc`` / ``write_jdbc``: the reference's Postgres leg (S4) — thin
   declarative wrappers over Spark's built-in JDBC source (predicate pushdown
-  and parallel partitioned reads come free). No JDBC driver jar ships in
-  this environment, so these are exercised only when a URL is supplied.
+  and parallel partitioned reads come free). Exercised end-to-end against
+  the embedded Derby engine PySpark bundles (tests/test_jdbc.py: write →
+  read round-trip, 4-way range-partitioned read, WHERE + projection pushed
+  into the generated SQL).
 """
 
 from __future__ import annotations
