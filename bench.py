@@ -6,8 +6,9 @@ Phase 1 (sf bench): runs every ``bench=True`` query from the registry at
 ``local[$SPARK_GRAFT_CPUS]``.
 
 Phase 2 (compute-bound bench): materializes an amplified copy of the fact
-tables (10× lineitem/orders, 100× events, 20× documents, 50× embeddings —
-see transilien_api_etl_spark/scale.py) into a cache dir inside the repo,
+tables (100× lineitem/orders/events, 200× documents, 500× embeddings, with
+replica jitter so dedup/similarity shapes stay realistic — see
+transilien_api_etl_spark/scale.py) into a cache dir inside the repo,
 then times the SAME queries there twice: once on Spark, once by running each
 query's DuckDB oracle SQL on views over the SAME parquet. At this scale the
 fixed ~0.2-0.5 s Spark scheduling overhead amortizes and the ratio measures
@@ -43,9 +44,11 @@ from transilien_api_etl_spark.io import TABLES  # noqa: E402
 from transilien_api_etl_spark.plans.registry import REGISTRY, bench_queries  # noqa: E402
 from transilien_api_etl_spark.session import build_session  # noqa: E402
 
+from transilien_api_etl_spark.scale import scale_dir_name  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = os.environ.get(
-    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO_DIR, ".scale_cache", "v1")
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(REPO_DIR, ".scale_cache", scale_dir_name())
 )
 RUN_SCALE = os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
 
@@ -138,7 +141,7 @@ def main() -> None:
             file=sys.stderr,
         )
         warm.fn(spark, SCALE_DIR).count()
-        spark_t = time_spark(specs, spark, SCALE_DIR, reps=2)
+        spark_t = time_spark(specs, spark, SCALE_DIR, reps=3)
         duck_t = time_duckdb(specs, SCALE_DIR, reps=2)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t

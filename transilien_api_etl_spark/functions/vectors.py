@@ -34,5 +34,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine when each side's L2 norm is already a column.
+
+    Join-shaped cosine work should precompute ``l2_norm`` per ROW before the
+    join (n folds), not per PAIR after it (n·k folds): per-pair cost drops to
+    a single dot fold. The final expression dot/(√Σa²·√Σb²) is bit-identical
+    to :func:`cosine_similarity` when the norm columns come from
+    :func:`l2_norm`, so DuckDB-oracle hash parity is preserved.
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def array_mean(a: Column) -> Column:
     return dot(a, F.transform(a, lambda _: F.lit(1.0))) / F.size(a)

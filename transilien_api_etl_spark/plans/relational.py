@@ -89,9 +89,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # Join order matters without CBO stats: the broadcast dim filter
+    # (mktsegment keeps ~1/5 of customers) must shrink orders BEFORE the
+    # fact-fact shuffle join, so the shuffled build side is 5× smaller.
+    # Catalyst won't reorder this itself absent column statistics.
     return (
-        line.join(orders, line.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(line, line.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -132,15 +136,20 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Scale-aware join order (no CBO stats to do it for us): pin supplier to
+    # the ASIA region via the tiny broadcast chain region→nation→supplier
+    # first, then broadcast THAT into lineitem — the only shuffled join left
+    # (lineitem⋈orders) carries ~1/5 of lineitem instead of all of it.
+    supp_asia = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
     return (
-        line.join(orders, line.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        line.join(F.broadcast(supp_asia), line.l_suppkey == supp_asia.s_suppkey)
+        .join(orders, line.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
-            (line.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp_asia.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

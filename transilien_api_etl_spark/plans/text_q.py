@@ -18,6 +18,7 @@ from transilien_api_etl_spark.functions.text import (
     rolling_hash_fingerprint,
     shingles,
     stopword_count,
+    token_count,
     tokenize,
 )
 from transilien_api_etl_spark.io import load_table
@@ -57,7 +58,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("lang")
         .agg(
-            F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
@@ -71,6 +72,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "→ TakeOrderedAndProject; partial aggregation makes the explode "
     "shuffle-light at scale.",
     tags=("text", "topk"),
+    bench=True,
     oracle="""
 SELECT w AS word, count(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

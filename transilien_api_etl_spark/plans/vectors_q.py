@@ -13,7 +13,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from transilien_api_etl_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
@@ -68,8 +73,17 @@ LIMIT 10
 def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 8)
+    # query norm folds ONCE on the broadcast side; per-corpus-row work is a
+    # dot fold + own-norm fold, not three folds
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
+    )
+    cos = F.round(
+        cosine_from_norms(
+            F.col("embedding"), F.col("qv"), l2_norm(F.col("embedding")), F.col("qn")
+        ),
+        8,
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -161,9 +175,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     _guard_quadratic(emb, "dedup_embedding_cosine")
+    # norms fold once per row (n folds) before the pair join, not per pair
+    emb = emb.withColumn("nrm", l2_norm(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_from_norms(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= 0.25)
@@ -258,9 +276,16 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     cands = _lsh_candidate_pairs(spark, emb, n_bands=16, band_bits=2).select("id_a", "id_b")
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    nrm = l2_norm(F.col("embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), nrm.alias("nrm_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), nrm.alias("nrm_b")
+    )
+    cos = cosine_from_norms(
+        F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+    )
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
@@ -303,7 +328,9 @@ LIMIT 10
 def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
+    )
     # per-cell centroids: posexplode → avg → rebuild ordered array
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -322,7 +349,12 @@ def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select("label")
     )
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 8)
+    cos = F.round(
+        cosine_from_norms(
+            F.col("embedding"), F.col("qv"), l2_norm(F.col("embedding")), F.col("qn")
+        ),
+        8,
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probed), "label")

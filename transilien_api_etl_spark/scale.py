@@ -33,20 +33,29 @@ from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.io import load_table
 
-# Fact-table replication factors: ~6 M lineitem / 1.5 M orders / 10 M events
-# / 100 k documents / 100 k embeddings from the sf0.1 inputs.
+# Fact-table replication factors: ~60 M lineitem / 15 M orders / 10 M events
+# / 1 M documents / 1 M embeddings from the sf0.1 inputs. Sized so that the
+# slowest Spark query is seconds (plan cost dominates the ~0.2 s fixed
+# overhead) while a full two-engine pass stays inside a per-round budget.
 DEFAULT_FACTORS: dict[str, int] = {
-    "lineitem": 10,
-    "orders": 10,
+    "lineitem": 100,
+    "orders": 100,
     "events": 100,
-    "documents": 20,
-    "embeddings": 50,
+    "documents": 200,
+    "embeddings": 500,
 }
 UNSCALED = ("region", "nation", "customer", "supplier", "part")
 
 # Added to each table's primary key per replica; > any generated key at any
 # sf in the driver testdata, so replicated keys never collide.
 KEY_STRIDE = 1 << 33
+
+
+def scale_dir_name(factors: dict[str, int] | None = None) -> str:
+    """Cache-dir name derived from the factor set, so a factor change never
+    silently reuses a stale materialization."""
+    factors = factors or DEFAULT_FACTORS
+    return "x".join(f"{k[:2]}{v}" for k, v in sorted(factors.items()))
 
 
 def _scale_table(spark: SparkSession, sf_dir: str, name: str, replicas: int) -> DataFrame:
@@ -91,17 +100,40 @@ def _scale_table(spark: SparkSession, sf_dir: str, name: str, replicas: int) -> 
             "props",
         )
     elif name == "documents":
+        # Replica 0 is the pristine corpus; replicas >0 get a replica token
+        # prefixed so content hashes differ. Without this, exact dedup sees
+        # every doc duplicated `replicas`× — a pathological shape no real
+        # corpus has (near-dup CLUSTER sizes stay what they were; corpus
+        # grows in distinct docs, which is how 100 TB corpora actually grow).
+        text = F.when(rep == 0, F.col("text")).otherwise(
+            F.concat(F.lit("r"), rep.cast("string"), F.lit(" "), F.col("text"))
+        )
         out = wide.select(
             (F.col("doc_id") + shift).alias("doc_id"),
-            "text",
+            text.alias("text"),
             "lang",
             "source",
             "n_chars",
         )
     elif name == "embeddings":
+        # Replica 0 pristine; replicas >0 sign-flip each dimension by a
+        # deterministic per-(replica, dim) pattern. A shared pattern
+        # preserves all WITHIN-replica cosines (cos(s⊙a, s⊙b) = cos(a, b))
+        # while making cross-replica vectors uncorrelated — so similarity
+        # structure replicates instead of collapsing into `replicas`-sized
+        # identical clusters that would make any near-dup op quadratic.
+        emb = F.when(rep == 0, F.col("embedding")).otherwise(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(rep * F.lit(104729) + i), F.lit(2)) == 0, x
+                ).otherwise(-x),
+            )
+        )
         out = wide.select(
             (F.col("vec_id") + shift).alias("vec_id"),
-            "embedding",
+            emb.alias("embedding"),
             "label",
         )
     else:  # pragma: no cover - caller passes fact tables only
