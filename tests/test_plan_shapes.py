@@ -49,7 +49,23 @@ FACT_QUERIES = [
     "q17_small_quantity_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q8_market_share",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
+
+
+def test_q21_double_exists_decorrelates(spark):
+    """EXISTS + NOT EXISTS over the same derived relation must both
+    decorrelate (semi + anti join), never re-scan per row."""
+    plan = _physical_plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, f"q21 EXISTS did not become a semi join:\n{plan}"
+    assert "LeftAnti" in plan, f"q21 NOT EXISTS did not become an anti join:\n{plan}"
 
 
 def test_exists_subquery_decorrelates_to_semi_join(spark):
