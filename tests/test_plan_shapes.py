@@ -57,7 +57,19 @@ FACT_QUERIES = [
     "q19_disjunctive_predicates",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "pretrain_corpus_report",
+    "pretrain_curated_docs",
 ]
+
+
+def test_pretrain_pipeline_single_wide_shuffle(spark):
+    """The curation pipeline's only wide shuffle is the digest group-by:
+    metrics + quality gate must fuse into the scan stage, not exchange."""
+    plan = _physical_plan(spark, "pretrain_corpus_report")
+    # one exchange for the sha digest groupBy, one for the tiny lang
+    # groupBy, plus the final 1-partition sort — no join exchanges.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, f"pipeline should be join-free:\n{plan}"
 
 
 def test_q21_double_exists_decorrelates(spark):

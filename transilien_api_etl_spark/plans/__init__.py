@@ -13,6 +13,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     vectors_q,
     udfs_q,
     windows,
+    pipeline_q,
     tpch_more,
     domain_q,
     events_q,
