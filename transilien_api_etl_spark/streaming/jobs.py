@@ -23,20 +23,29 @@ from transilien_api_etl_spark.io import events_raw_schema, table_path
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (T1).
 
-    ts arrives as parquet TIMESTAMP(NANOS); same nanosAsLong + integer-DIV
-    conversion as the batch loader so batch and stream share one schema.
+    ts may arrive as parquet TIMESTAMP(NANOS) (nanosAsLong + integer-DIV
+    conversion, same as the batch loader) or standard µs — one footer read
+    decides, so batch and stream share one downstream schema either way.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from transilien_api_etl_spark.io import SCHEMAS, _events_ts_is_nanos
+
     # file streaming source requires a directory; select just the events
     # table out of it with pathGlobFilter
-    raw = (
-        spark.readStream.schema(events_raw_schema())
+    if _events_ts_is_nanos(table_path(sf_dir, "events")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(events_raw_schema())
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def run_stream_to_memory(
