@@ -1,19 +1,25 @@
 """Extended TPC-H shapes over the reduced test schema (SURVEY §3 J2/A1/F7).
 
 The test tables are a reduced TPC-H (no partsupp, no l_shipmode /
-l_commitdate / l_receiptdate, no c_phone / p_container), so Q2/Q9/Q11/Q16/
-Q20 are out of scope and Q12/Q19/Q21/Q22 are *adapted*: the join/subquery
-shape is preserved, the missing predicate columns are replaced by
-semantically equivalent ones that exist (lateness = l_shipdate more than
-90 days after o_orderdate; q22's phone country-code = nation key). Every
-query keeps the classic plan-shape lesson it exists to teach:
+l_commitdate / l_receiptdate, no c_phone / p_container), so every query
+here is *adapted*: the join/subquery shape is preserved, the missing
+columns are replaced by semantically equivalent ones that exist (lateness
+= l_shipdate more than 90 days after o_orderdate; q22's phone country-code
+= nation key; the partsupp-based queries use lineitem as the part↔supplier
+bridge and avg unit sell price / 60% of retail price as the cost proxy).
+Every query keeps the classic plan-shape lesson it exists to teach:
 
+- q2  correlated per-group min subquery (min-cost supplier per part)
 - q8  multi-way star + conditional share-of-total aggregation
+- q9  multi-dim profit rollup across a 5-way star
+- q11 HAVING against a scalar fraction-of-global-total subquery
 - q12 fact-fact join + CASE-bucketed counts
 - q13 left-join count distribution (group-by of a group-by)
 - q14 conditional numerator / total denominator ratio
 - q15 aggregate + scalar-max self-restriction (top revenue supplier)
+- q16 distinct-count rollup with an exclusion anti-join
 - q19 disjunctive conjunct join predicate (OR of brand/size/qty bands)
+- q20 nested IN-subquery chain (part subset → shipped-share → suppliers)
 - q21 EXISTS + NOT EXISTS over the same derived relation
 - q22 scalar avg subquery + NOT EXISTS anti join
 
@@ -378,4 +384,279 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         ORDER BY n_name
         """
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    doc="TPC-H Q2 shape adapted (lineitem bridges part↔supplier in place of "
+    "partsupp; unit cost = best unit sell price ever offered — min is "
+    "summation-order-independent, so the cross-engine hash is exact where "
+    "an avg would drift by one ulp): for mid-size parts, the EUROPE "
+    "supplier(s) offering the per-part minimum unit cost. The "
+    "correlated min subquery becomes a window min over the per-(part, "
+    "supplier) aggregate — one extra window pass instead of a second scan + "
+    "self-join of the costs relation. Supplier side is pre-reduced through "
+    "broadcast nation⋈region; the part subset broadcast-semi-joins the "
+    "costs relation before the window so the window input is already small.",
+    tags=("join", "subquery", "window"),
+    oracle="""
+WITH costs AS (
+  -- unit_cost stays an unrounded double: min() of identical IEEE divisions
+  -- is bit-exact across engines, while round() is not (Spark rounds the
+  -- shortest decimal repr HALF_UP; DuckDB rounds the binary value), so
+  -- rounding here would DESYNC the hash at half-cent boundaries.
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey)
+SELECT p_partkey, p_name, s_name, unit_cost
+FROM costs
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size BETWEEN 30 AND 40
+  AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                   WHERE c2.l_partkey = costs.l_partkey)
+ORDER BY p_partkey, s_name
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(30, 40))
+    eur_sup = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    # Restrict to the part subset BEFORE aggregating: per-part min over a
+    # subset equals the subset of per-part mins, and at 100 TB the semi
+    # join prunes the lineitem scan down to the broadcast part ids.
+    costs = (
+        l.join(p.select("p_partkey", "p_name"), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur_sup), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    doc="TPC-H Q9 shape adapted (supply cost proxy = 60% of p_retailprice "
+    "per unit, partsupp absent): profit by supplier nation and order year "
+    "over gear-named parts. Five-way star: lineitem drives, part filter "
+    "broadcast-prunes first, orders joins on orderkey (the only fact⋈fact "
+    "shuffle), supplier⋈nation broadcast. Profit = revenue − cost, rolled "
+    "up along (nation, year).",
+    tags=("join", "agg", "star"),
+    oracle="""
+SELECT n_name AS sup_nation, year(o_orderdate) AS o_year,
+       -- per-row double → DECIMAL, then exact decimal summation: the sum is
+       -- identical regardless of accumulation order, unlike a double sum
+       -- whose last-ulp drift flips the cent rounding between engines
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity
+                           AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY sup_nation, o_year
+ORDER BY sup_nation, o_year DESC
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup_nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("sup_nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nat), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("sup_nation", F.year("o_orderdate").alias("o_year"))
+        # decimal accumulation: order-independent exact sum (see oracle note)
+        .agg(
+            F.round(F.sum(profit.cast("decimal(25,6)")).cast("double"), 2).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("sup_nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    doc="TPC-H Q11 shape adapted (value of a part = discounted revenue "
+    "through NATION_1 suppliers, lineitem in place of partsupp): parts "
+    "whose value exceeds 1/1000 of the total. The global total is a 1-row "
+    "aggregate broadcast into the HAVING comparison — the per-part and "
+    "global aggregates share one shuffled relation, scanned once via a "
+    "cached intermediate.",
+    tags=("agg", "subquery", "having"),
+    oracle="""
+WITH part_value AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, value
+FROM part_value
+WHERE value > (SELECT sum(value) * 0.001 FROM part_value)
+ORDER BY value DESC, p_partkey
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    part_value = (
+        l.join(F.broadcast(nat_sup), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "value"
+            )
+        )
+    )
+    threshold = part_value.agg((F.sum("value") * 0.001).alias("thr"))
+    return (
+        part_value.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    doc="TPC-H Q16 shape adapted (supplier exclusion = negative account "
+    "balance, lineitem bridges part↔supplier): how many distinct suppliers "
+    "ship each (brand, type, size) combination outside one brand, excluding "
+    "flagged suppliers via a broadcast anti join BEFORE the distinct-count "
+    "shuffle — the exclusion list is tiny, the fact relation is not.",
+    tags=("agg", "anti", "distinct"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad_sup), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"), l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    doc="TPC-H Q20 shape adapted (a supplier 'dominates' a part if it "
+    "shipped >20% of that part's 1997 quantity; partsupp availability is "
+    "absent): names of NATION_2 suppliers dominating any red part. The "
+    "nested IN chain (parts → per-(supp, part) share → suppliers) becomes "
+    "two aggregations over one scan plus a semi join — the per-part total "
+    "reuses the per-(supp, part) partial aggregate, not a second scan.",
+    tags=("join", "subquery", "semi"),
+    oracle="""
+WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM red_parts)
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped s1
+    WHERE qty > 0.2 * (SELECT sum(qty) FROM shipped s2
+                       WHERE s2.l_partkey = s1.l_partkey))
+ORDER BY s_name
+""",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    shipped = (
+        l.join(F.broadcast(red), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # The correlated per-part total is a window sum over the SAME aggregate
+    # — no second scan, no self-join, one extra pass over the shuffled data.
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.2 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
