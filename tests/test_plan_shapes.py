@@ -25,6 +25,9 @@ NLJ_ALLOWED = {
     "knn_ivf_top10",
     "dedup_embedding_cosine",
     "docs_shingle_jaccard",
+    # value > scalar-total comparison: BNLJ against a broadcast 1-row
+    # aggregate — bounded by construction, the right plan at any scale
+    "q11_important_part_value",
 }
 
 FACT_QUERIES = [
@@ -59,7 +62,25 @@ FACT_QUERIES = [
     "q22_dormant_customers",
     "pretrain_corpus_report",
     "pretrain_curated_docs",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q16_supplier_part_count",
+    "q20_excess_share_suppliers",
+    "pretrain_sample_mix",
+    "pretrain_pack_sequences",
+    "docs_chunk_windows",
+    "decontaminate_docs",
+    "docs_bigram_counts",
 ]
+
+
+def test_sample_mix_and_chunking_are_map_only(spark):
+    """Sampling and chunking must ride the scan: no exchange at all (the
+    final presentation orderBy is rangepartitioning, which AQE drops on
+    write; hashpartitioning exchanges would mean an accidental shuffle)."""
+    for name in ("pretrain_sample_mix", "docs_chunk_windows"):
+        plan = _physical_plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, f"{name}:\n{plan}"
 
 
 def test_pretrain_pipeline_single_wide_shuffle(spark):

@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.functions.text import (
     predict_lang,
+    shingles,
     stopword_count,
+    token_count,
     tokenize,
 )
 from transilien_api_etl_spark.io import load_table
@@ -162,4 +164,248 @@ def _curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("predicted").alias("predicted"),
         F.min("n_tokens").cast("long").alias("n_tokens"),
         F.min("quality").alias("quality"),
+    )
+
+
+# --- corpus-engineering operators beyond the curate/dedup core -------------
+
+_LCG_MOD = 2147483647  # Lehmer LCG: deterministic, overflow-safe in BIGINT
+_LCG_MUL = 48271
+
+
+@register(
+    "pretrain_sample_mix",
+    doc="Domain-mixing sampler: per-source deterministic Bernoulli sampling "
+    "(head sources kept fully, mid 50%, tail 20%) keyed on a Lehmer-LCG "
+    "hash of doc_id — pure BIGINT arithmetic both engines compute "
+    "identically, unlike engine-native hash()/random(). (doc_id % p) * "
+    "48271 % p stays under 2^47, so it cannot overflow int64 for ANY "
+    "doc_id, where doc_id * bigmul would at trillion-row scale. Map-only: "
+    "zero shuffles at 100 TB; the sample decision rides the scan.",
+    tags=("text", "pipeline", "sampling"),
+    oracle=f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ((doc_id % {_LCG_MOD}) * {_LCG_MUL}) % {_LCG_MOD} AS h,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+              WHEN CAST(substr(source, 4) AS INT) < 13 THEN 0.5
+              ELSE 0.2 END AS rate
+  FROM documents)
+WHERE h < rate * {_LCG_MOD}
+ORDER BY doc_id
+""",
+)
+def pretrain_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num < 5, F.lit(1.0)).when(src_num < 13, F.lit(0.5)).otherwise(F.lit(0.2))
+    )
+    h = ((F.col("doc_id") % _LCG_MOD) * _LCG_MUL) % _LCG_MOD
+    return (
+        d.select("doc_id", "source", h.alias("h"), rate.alias("rate"))
+        .filter(F.col("h") < F.col("rate") * _LCG_MOD)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pretrain_pack_sequences",
+    doc="Token-budget sequence packing: docs are packed in doc_id order "
+    "into ~2048-token sequences WITHIN each source shard — seq boundary = "
+    "floor(running-tokens-before-doc / budget). Per-source windows keep "
+    "the sort partition-local: at 100 TB each source shard packs "
+    "independently (one shuffle on source, no global sort), which is how "
+    "a real tokenizer job shards. Token counts use length arithmetic, not "
+    "an array build.",
+    tags=("text", "pipeline", "window"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+  FROM t)
+SELECT source, seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+""",
+)
+def pretrain_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+_CHUNK_LEN = 500
+_CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+@register(
+    "docs_chunk_windows",
+    doc="Overlapping character-window chunking (the RAG/embedding prep "
+    "shape): each doc explodes into 500-char chunks on a 400-char stride. "
+    "sequence + posexplode stays JVM-side; map-only, no shuffle — chunking "
+    "1B docs is embarrassingly parallel and this plan keeps it that way.",
+    tags=("text", "pipeline", "explode"),
+    oracle=f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(greatest(len(text) - 1, 0) AS BIGINT),
+                                {_CHUNK_STRIDE})) AS g
+  FROM documents)
+SELECT doc_id, CAST(g // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       substr(text, CAST(g AS INT) + 1, {_CHUNK_LEN}) AS chunk
+FROM idx
+ORDER BY doc_id, chunk_idx
+""",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"substring(text, start + 1, {_CHUNK_LEN})").alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# 4-token shingles: on the synthetic corpus (short docs, shared vocab) the
+# classic 8-gram grain finds zero cross-source overlap at sf0.01 — a 0-row
+# result would be a vacuous correctness check. 4 keeps the identical plan
+# shape with a populated result (25 flagged docs at sf0.01); the grain is a
+# config constant a real run would set to 8-13.
+_DECON_NGRAM = 4
+
+
+def _sql_shingle_expr(n: int) -> str:
+    concat = " || ' ' || ".join(f"s[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(s) - {n - 1}, 0)), i -> {concat}))"
+    )
+
+
+@register(
+    "decontaminate_docs",
+    doc="Benchmark decontamination: training docs (source <> 'src19') that "
+    "share any 4-token shingle with the held-out eval slice (source = "
+    "'src19'), with the count of shared distinct shingles — the removal "
+    "list a pretrain run feeds to an anti join. Eval shingles are tiny "
+    "(one source slice) and broadcast; the train side explodes shingles "
+    "map-side, so the only wide op is the final per-doc count. At 100 TB: "
+    "broadcast-semi shape, no all-pairs anything.",
+    tags=("text", "pipeline", "dedup"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS s FROM documents),
+esh AS (
+  SELECT DISTINCT unnest({_sql_shingle_expr(_DECON_NGRAM)}) AS sh
+  FROM tok WHERE source = 'src19'),
+tsh AS (
+  SELECT doc_id, source, unnest({_sql_shingle_expr(_DECON_NGRAM)}) AS sh
+  FROM tok WHERE source <> 'src19')
+SELECT t.doc_id, t.source, count(*) AS n_shared
+FROM tsh t JOIN esh e ON t.sh = e.sh
+GROUP BY t.doc_id, t.source
+ORDER BY t.doc_id
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(tokenize(F.col("text")), n=_DECON_NGRAM))
+    eval_sh = (
+        d.filter(F.col("source") == "src19")
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    train_sh = d.filter(F.col("source") != "src19").select(
+        "doc_id", "source", F.explode(sh).alias("sh")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        # shingles are per-doc distinct before the explode, so count(*) IS
+        # the distinct shared-shingle count — no countDistinct shuffle
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_bigram_counts",
+    doc="Corpus bigram table (n-gram LM counts): top-50 token bigrams by "
+    "frequency, ties broken lexically. transform over an index sequence "
+    "builds bigrams without a UDF; partial aggregation absorbs the "
+    "explode's fan-out map-side before the single shuffle.",
+    tags=("text", "agg"),
+    oracle="""
+WITH tok AS (SELECT string_split(text, ' ') AS s FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(s) - 1, 0)),
+                               i -> s[i] || ' ' || s[i+1])) AS bigram
+  FROM tok)
+SELECT bigram, count(*) AS cnt
+FROM bg
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 50
+""",
+)
+def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    k = F.size(toks) - 1
+    idx = F.sequence(F.lit(1), k)
+    bigrams = F.when(
+        k >= 1,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(50)
     )
