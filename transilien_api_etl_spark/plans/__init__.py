@@ -14,6 +14,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     udfs_q,
     windows,
     pipeline_q,
+    sketches_q,
     tpch_more,
     domain_q,
     events_q,

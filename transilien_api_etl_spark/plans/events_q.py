@@ -236,3 +236,113 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.col("r.event_id")).alias("n_clicks_1h"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_resample_1h_ffill",
+    doc="Time-series resampling with forward fill (the gap-fill shape every "
+    "monitoring/feature pipeline needs): each user's value series re-sampled "
+    "onto an hourly grid, carrying the last observation forward. Built as a "
+    "union merge-scan — grid points and observations union into ONE sorted "
+    "pass per user with last(ignorenulls) over a running frame — the same "
+    "zero-fan-out strategy as the as-of join (operators/joins.py): no range "
+    "join, no per-grid-point probe. One shuffle on user_id; grid size is "
+    "bounded by users × hours, independent of event volume. Ties at a grid "
+    "instant: observations sort before the grid point (is_obs DESC), so a "
+    "reading exactly at the hour is included; equal-ts observations order "
+    "by event_id, making the carried value deterministic in both engines.",
+    tags=("events", "window", "timeseries"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 50),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+  FROM b),
+allpts AS (
+  SELECT user_id, ts, value, 1 AS is_obs, event_id FROM ev
+  UNION ALL
+  SELECT user_id, ts, NULL, 0 AS is_obs, -1 AS event_id FROM grid),
+f AS (
+  SELECT user_id, ts, is_obs,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+  FROM allpts)
+SELECT user_id, ts AS grid_ts, value_ffill
+FROM f WHERE is_obs = 0
+ORDER BY user_id, grid_ts
+""",
+)
+def events_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    obs = ev.select("user_id", "ts", "value", F.lit(1).alias("is_obs"), "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_obs"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("value_ffill", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_obs") == 0)
+        .select("user_id", F.col("ts").alias("grid_ts"), "value_ffill")
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+_HIST_BUCKETS = 20
+
+
+@register(
+    "agg_histogram_value",
+    doc="Equi-width histogram with runtime bounds (SURVEY §3 A-family "
+    "completeness): two-pass — a 1-row min/max aggregate broadcast into "
+    "the bucket projection, then one group-by on the bucket id. The "
+    "bucket arithmetic is pure IEEE double ops (sub/div/floor), bit-equal "
+    "across engines; the top edge clamps into the last bucket.",
+    tags=("events", "agg"),
+    oracle=f"""
+WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+h AS (
+  SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / {_HIST_BUCKETS}.0))
+                    AS BIGINT), {_HIST_BUCKETS - 1}) AS bucket_id
+  FROM events, b)
+SELECT bucket_id, count(*) AS n_events
+FROM h GROUP BY bucket_id ORDER BY bucket_id
+""",
+)
+def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / _HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / width), F.lit(_HIST_BUCKETS - 1)
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bucket_id")
+    )

@@ -1,0 +1,98 @@
+"""Sketch-based approximate operators (SURVEY §3 A2-adjacent; the streaming
+/ heavy-hitter side of the LLM-data mandate).
+
+Count-min sketch built as a pure-DataFrame composition: D hash rows × W
+buckets, update = one explode + one group-by, point query = min over the D
+bucket counters. The sketch table is D·W rows regardless of input size —
+the whole point at 100 TB: per-token frequency state in O(D·W), mergeable
+across partitions/streams by summing bucket counts (the group-by IS the
+merge). Estimates never undercount (each counter ≥ true count); the
+overcount is bounded by collisions — asserted as a property in
+tests/test_sketches.py against the exact word-frequency twin
+(``docs_word_freq_top20``).
+
+No DuckDB oracle: the bucket hash is Spark's xxhash64, which DuckDB cannot
+reproduce — the driver records the weaker rows-only check, and the exact
+twin + property test carry the correctness weight (same pattern as the
+LSH/minhash rows-only queries in text_q/vectors_q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.text import tokenize
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+CMS_WIDTH = 512  # buckets per hash row (ε ≈ e/W)
+CMS_DEPTH = 4  # independent hash rows (δ ≈ e^-D)
+TOP_K = 30
+
+
+def _bucket(col: F.Column, seed: int) -> F.Column:
+    """Row `seed`'s bucket for a token: xxhash64 seeded by position."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(CMS_WIDTH))
+
+
+def cms_sketch(tokens: DataFrame, col: str = "tok") -> DataFrame:
+    """Build the D×W counter table from a token stream: (seed, bucket, cnt).
+
+    One explode (D rows per token, D is a small constant) + one group-by on
+    (seed, bucket) — a key space of exactly D·W values, so the shuffle
+    reduces to D·W rows no matter how many tokens went in.
+    """
+    rows = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), _bucket(F.col(col), s).alias("bucket"))
+            for s in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        tokens.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.seed").alias("seed"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "sketch_heavy_hitters_cms",
+    doc="Count-min-sketch heavy hitters: top-30 tokens by CMS-estimated "
+    "frequency (min over 4 seeded xxhash64 rows of 512 buckets). The "
+    "sketch is 2048 rows and broadcasts into the estimate join; the "
+    "distinct-token probe side is the only data-sized relation. Estimates "
+    "are upper bounds by construction; tests/test_sketches.py asserts "
+    "est ≥ exact and bounded overcount against the exact twin.",
+    tags=("sketch", "text", "approx"),
+)
+def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    sketch = cms_sketch(tok)
+
+    probes = tok.distinct().select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"), _bucket(F.col("tok"), s).alias("bucket")
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("r"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("r.seed") == F.col("seed")) & (F.col("r.bucket") == F.col("bucket")),
+        )
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), "tok")
+        .limit(TOP_K)
+    )
