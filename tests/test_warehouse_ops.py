@@ -121,3 +121,42 @@ def test_scd2_merge_multi_snapshot_batch(spark):
     assert rows[("s2", "B")][1] == "9999-12-31 00:00:00"
     # invariant: exactly one open version per key
     assert current_view(hist2).groupBy("stop_id").count().filter("count > 1").count() == 0
+
+
+def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_clustered must produce files whose footer min/max ranges
+    on the cluster key are pairwise disjoint — the property that lets a
+    point/range predicate skip every non-matching file at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from transilien_api_etl_spark.sources.sinks import write_range_clustered
+
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_clustered")
+    write_range_clustered(ev, out, ["ts"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4, f"expected several clustered files, got {len(ranges)}"
+    ranges.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= nxt_lo, f"overlapping file ranges: {ranges}"
+
+    # and the filtered read must actually skip files: scanning a range that
+    # fits one file reads fewer rows than the table
+    lo0, hi0 = ranges[0]
+    n = (
+        spark.read.parquet(out)
+        .filter(F.col("ts") <= F.lit(hi0))
+        .count()
+    )
+    assert 0 < n < ev.count()

@@ -409,3 +409,44 @@ def docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "bigram")
         .limit(50)
     )
+
+
+_SAMPLE_K = 5
+
+
+@register(
+    "sample_k_per_source",
+    doc="Fixed-size uniform sample per group — the distributed equivalent "
+    "of reservoir sampling: rank docs within each source by a Lehmer-LCG "
+    "hash of doc_id and keep the k smallest. One window pass, deterministic "
+    "across engines AND across reruns (a property random()-based sampling "
+    "lacks), uniform because the hash is uniform over doc ids. At 100 TB "
+    "the per-group top-k-by-hash form beats a true sequential reservoir: "
+    "no state, no order dependence, partition-parallel.",
+    tags=("pipeline", "sampling", "window"),
+    oracle=f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {_LCG_MOD}) * {_LCG_MUL}) % {_LCG_MOD}, doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= {_SAMPLE_K}
+ORDER BY source, doc_id
+""",
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % _LCG_MOD) * _LCG_MUL) % _LCG_MOD
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
