@@ -346,3 +346,126 @@ def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("bucket_id")
     )
+
+
+@register(
+    "events_concurrency_curve",
+    doc="Sweep-line concurrency: how many user sessions are open at every "
+    "session boundary instant. Sessions (30-min gap sessionize) become "
+    "+1/-1 boundary deltas; a running sum over the boundary stream IS the "
+    "concurrency curve — the classic interval-overlap sweep, done as two "
+    "window passes with zero joins. Ties at one instant count starts "
+    "before ends (delta DESC), so the curve reports inclusive peaks. The "
+    "final running sum is a single global-order window — fine for boundary "
+    "streams (2 rows per session); at 100 TB partition the sweep by coarse "
+    "time range and carry boundary offsets between ranges (two-pass "
+    "prefix-sum), same plan shape.",
+    tags=("events", "session", "window"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM s GROUP BY user_id, session_id
+), pts AS (
+  SELECT s_start AS ts, 1 AS delta, user_id, session_id FROM sess
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta, user_id, session_id FROM sess
+)
+SELECT ts, delta,
+       CAST(sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+FROM pts
+ORDER BY ts, delta DESC, user_id, session_id
+""",
+)
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    pts = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sess.select(
+            F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    )
+    w = (
+        Window.orderBy("ts", F.desc("delta"), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("concurrency", F.sum("delta").over(w).cast("long"))
+        .select("ts", "delta", "concurrency")
+        .orderBy("ts", F.desc("delta"))
+    )
+
+
+@register(
+    "events_mad_outliers",
+    doc="Robust outlier report per event type: median / MAD (median "
+    "absolute deviation) via exact percentile (interpolation parity with "
+    "DuckDB quantile_cont is established by agg_percentiles), outlier = "
+    "deviation > 3×MAD. Two grouped percentile passes; the per-type "
+    "med/MAD relations are broadcast back onto the fact scan — at 100 TB "
+    "the heavy input is scanned twice and shuffled only into ~5-row "
+    "aggregates, never joined fact-to-fact.",
+    tags=("events", "agg", "robust"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT e.event_type, m.med, d.mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       count(*) AS n_total
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+GROUP BY e.event_type, m.med, d.mad
+ORDER BY e.event_type
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("event_type")
+    )
