@@ -472,3 +472,89 @@ def agg_percentile_approx_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p95", 2).alias("p95_exact"),
         ok.alias("approx_within_2pct"),
     ).orderBy("o_orderpriority")
+
+
+_DQ_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile_orders",
+    doc="Data-quality profile (the pre-training-run expectations check): "
+    "per-column null count, distinct count, min and max (stringified) over "
+    "orders — computed in ONE scan as a single 24-metric aggregate, then "
+    "exploded into a row per column. The naive per-column UNION (the oracle "
+    "form) scans the table once per column; at 100 TB the single-pass form "
+    "is the only viable one. min/max stringification is cast-stable across "
+    "engines for these value ranges (no E-notation below 1e7).",
+    tags=("agg", "profile", "pipeline"),
+    oracle="""
+SELECT 'o_custkey' AS col,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS vmin, CAST(max(o_custkey) AS VARCHAR) AS vmax
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY col
+""",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _DQ_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("vmin"),
+                F.col(f"mx_{c}").alias("vmax"),
+            )
+            for c in _DQ_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*").orderBy("col")
