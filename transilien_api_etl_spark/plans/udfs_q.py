@@ -286,3 +286,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # class works unchanged. T7 is covered by applyInPandasWithState
 # (streaming_stateful_running_max above), which shares the arbitrary-state
 # semantics and needs no protobuf.
+
+
+_SESSION_GAP_MS = 1_800_000  # 30 minutes
+
+
+@register(
+    "streaming_session_timeout_flush",
+    doc="T7 with TIMERS: a custom event-time sessionizer as arbitrary "
+    "stateful streaming — per-user state buffers pending events; on every "
+    "invocation (new data OR event-time timeout) the buffer is gap-split "
+    "and every session whose last event sits more than the 30-min gap "
+    "behind the WATERMARK is emitted and dropped from state; the rest "
+    "stays buffered with a timer set to the earliest possible next flush. "
+    "This is the correct custom-session pattern under cross-batch "
+    "reordering: nothing is emitted until the watermark proves the "
+    "session cannot grow. The final no-data micro-batch (watermark = max "
+    "event time) flushes everything except each user's still-open tail "
+    "session — exactly the sessions the batch oracle selects.",
+    tags=("streaming", "stateful", "session"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_last, n_events
+FROM sess
+WHERE epoch_ms(session_last) + 1800000 < (SELECT epoch_ms(max(ts)) FROM events)
+ORDER BY user_id, session_start
+""",
+)
+def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from transilien_api_etl_spark.streaming.jobs import sessionize_with_timeout
+
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = sessionize_with_timeout(s, gap_ms=_SESSION_GAP_MS)
+    return run_stream_to_memory(out, "append", "sess_timeout").orderBy(
+        "user_id", "session_start"
+    )

@@ -81,3 +81,80 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_GAP_MS = 1_800_000  # 30 minutes
+
+
+def sessionize_with_timeout(sdf: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+    """Custom event-time sessionizer (T7 with timers): buffer-until-watermark.
+
+    ``sdf`` is a WATERMARKED streaming DataFrame with (user_id, ts,
+    event_id). Per-user state buffers pending events; on every invocation
+    (new data OR event-time timer) the buffer is gap-split and every
+    session whose last event sits more than ``gap_ms`` behind the
+    watermark is emitted (append-mode, exactly once) and dropped; the rest
+    stays buffered with a timer at the earliest possible next flush.
+    Buffering until the watermark proves a session cannot grow is what
+    makes the operator correct under cross-batch event reordering — an
+    eager gap-tracker would mis-split on any out-of-order arrival.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_ms * 1000
+
+    def sessions(key, batches, state: GroupState):
+        ts_buf, eid_buf = state.get if state.exists else ((), ())
+        ts_buf, eid_buf = list(ts_buf), list(eid_buf)
+        # buffer in MICROseconds: the source carries µs precision and the
+        # emitted session bounds must be bit-equal to the batch oracle's
+        for pdf in batches:
+            if len(pdf):
+                ts_buf.extend(pdf["ts"].astype("datetime64[us]").astype("int64"))
+                eid_buf.extend(pdf["event_id"].astype("int64"))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(ts_buf)), key=lambda i: (ts_buf[i], eid_buf[i]))
+        ts_sorted = [int(ts_buf[i]) for i in order]
+        eid_sorted = [int(eid_buf[i]) for i in order]
+        sess: list[tuple[int, int, int]] = []  # (start_us, last_us, n)
+        for t in ts_sorted:
+            if sess and t - sess[-1][1] <= gap_us:
+                st, _, n = sess[-1]
+                sess[-1] = (st, t, n + 1)
+            else:
+                sess.append((t, t, 1))
+        closed = [x for x in sess if x[1] + gap_us < wm_us]
+        keep_from = sum(x[2] for x in closed)  # sessions are prefix-ordered
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "session_start": [pd.to_datetime(a, unit="us") for a, _, _ in closed],
+                    "session_last": [pd.to_datetime(b, unit="us") for _, b, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+        rest_ts = ts_sorted[keep_from:]
+        rest_eid = eid_sorted[keep_from:]
+        if rest_ts:
+            state.update((rest_ts, rest_eid))
+            # earliest instant (ms) the oldest retained session could flush;
+            # must stay strictly ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max((rest_ts[0] + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+
+    return (
+        sdf.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            "user_id long, session_start timestamp, session_last timestamp, n_events long",
+            "ts array<long>, eid array<long>",
+            "Append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
