@@ -1,0 +1,89 @@
+"""Incremental aggregate maintenance: 8 micro-batches of deltas folded into
+a stored aggregate must equal the one-shot batch aggregate, and replaying a
+micro-batch (foreachBatch's crash-redelivery contract) must be a no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.incremental import (
+    merge_additive_agg,
+    read_additive_agg,
+)
+
+SF = "/root/testdata/sf0.01"
+KEYS = ["event_type"]
+
+
+def _expected(e):
+    return {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+
+def test_incremental_merge_equals_batch_and_replay_is_noop(spark, tmp_path):
+    e = load_table(spark, SF, "events").withColumn(
+        "slice", F.pmod(F.col("event_id"), F.lit(8))
+    )
+    path = str(tmp_path / "agg")
+
+    batches = [
+        e.filter(F.col("slice") == i).drop("slice").localCheckpoint(eager=True)
+        for i in range(8)
+    ]
+    for i, b in enumerate(batches):
+        merge_additive_agg(b, i, path, KEYS, sum_cols={"value": "total"})
+
+    got = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    }
+    assert got == _expected(e.drop("slice"))
+
+    # replay the LAST batch (the crash-redelivery case): must change nothing
+    merge_additive_agg(batches[7], 7, path, KEYS, sum_cols={"value": "total"})
+    replayed = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    }
+    assert replayed == got
+
+    # stale replay of an EARLY batch: also a no-op
+    merge_additive_agg(batches[2], 2, path, KEYS, sum_cols={"value": "total"})
+    assert {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    } == got
+
+
+def test_incremental_merge_via_streaming_foreachbatch(spark, tmp_path):
+    """End-to-end: the merge driven by an actual foreachBatch stream over 4
+    file-sliced micro-batches equals the batch aggregate."""
+    e = load_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    e.repartition(4).write.parquet(src)
+    path = str(tmp_path / "agg_stream")
+
+    stream = (
+        spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_additive_agg(
+                df, bid, path, KEYS, sum_cols={"value": "total"}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    }
+    assert got == _expected(e)
