@@ -308,3 +308,40 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(joined, "append", "ssjoin").orderBy(
         "purchase_id", "click_id"
     )
+
+
+@register(
+    "streaming_incremental_agg",
+    doc="Incremental aggregate maintenance as a streaming job (S5+T1, the "
+    "streaming-warehouse pattern): foreachBatch folds each micro-batch's "
+    "pre-aggregated delta into a stored additive group-by via "
+    "operators/incremental.merge_additive_agg (batch-id ledger makes "
+    "crash-replays no-ops). The final stored table must equal the one-shot "
+    "batch aggregate — which is the oracle.",
+    tags=("streaming", "sink", "agg"),
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from transilien_api_etl_spark.operators.incremental import (
+        merge_additive_agg,
+        read_additive_agg,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    agg_dir = tempfile.mkdtemp(prefix=f"incagg_{uuid.uuid4().hex[:8]}_")
+    run_stream_foreach_batch(
+        s,
+        lambda df, bid: merge_additive_agg(
+            df, bid, agg_dir, ["event_type"], sum_cols={"value": "total"}
+        ),
+        "incagg",
+    )
+    return (
+        read_additive_agg(spark, agg_dir)
+        .select("event_type", "n", F.round("total", 2).alias("total"))
+        .orderBy("event_type")
+    )
