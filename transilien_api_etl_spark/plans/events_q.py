@@ -469,3 +469,65 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_session_funnel",
+    doc="Ordered conversion funnel within sessions (product-analytics "
+    "staple): per 30-min session, the earliest view / click / purchase "
+    "instants; a session converts a step only if the step's first instant "
+    "is strictly after the previous step's. Conditional-min aggregation — "
+    "the sequential pattern reduces to three mins and two comparisons, no "
+    "self-joins, no UDF; one shuffle for the sessionize, one for the "
+    "per-session agg (same key — AQE reuses the partitioning).",
+    tags=("events", "session", "funnel"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), f AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM s GROUP BY user_id, session_id)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM f
+""",
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    f = s.groupBy("user_id", "session_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return f.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        flag(step1).alias("n_view"),
+        flag(step2).alias("n_view_click"),
+        flag(step3).alias("n_full_funnel"),
+    )

@@ -236,3 +236,49 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_ewma_10",
+    doc="Exponentially weighted moving average over the trailing 10 "
+    "observations per user (the time-series smoothing op batch feature "
+    "pipelines need): collect the ordered frame into an array, then a "
+    "sequential JVM-side fold ewma = α·x + (1−α)·ewma. Both engines fold "
+    "the SAME ordered list left-to-right, so the float result is "
+    "bit-identical — no rounding hedge needed. One shuffle (user_id), one "
+    "window pass; the array is ≤10 elements, so no memory concern at any "
+    "scale.",
+    tags=("window", "timeseries"),
+    oracle="""
+SELECT user_id, event_id,
+       list_reduce(
+         vals, (acc, x) -> 0.3 * x + 0.7 * acc
+       ) AS ewma
+FROM (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+  FROM events)
+ORDER BY user_id, event_id
+""",
+)
+def window_ewma_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    # fold left over the ordered frame: seed = first element, like DuckDB's
+    # list_reduce (which starts from the list head, not an external zero)
+    ewma = F.aggregate(
+        F.slice(vals, 2, 9),
+        F.element_at(vals, 1),
+        lambda acc, x: 0.3 * x + 0.7 * acc,
+    )
+    return (
+        e.select("user_id", "event_id", ewma.alias("ewma"))
+        .orderBy("user_id", "event_id")
+    )
