@@ -71,6 +71,13 @@ FACT_QUERIES = [
     "docs_chunk_windows",
     "decontaminate_docs",
     "docs_bigram_counts",
+    "events_resample_1h_ffill",
+    "events_concurrency_curve",
+    "events_mad_outliers",
+    "events_session_funnel",
+    "window_ewma_10",
+    "dq_profile_orders",
+    "sample_k_per_source",
 ]
 
 

@@ -160,3 +160,40 @@ def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
         .count()
     )
     assert 0 < n < ev.count()
+
+
+def test_point_in_time_join_picks_version_in_force(spark):
+    """Feature-store correctness: each fact must see exactly the dimension
+    version valid at its own instant — the new version AT the change
+    boundary (half-open intervals), nulls before the entity existed,
+    never a future version (leakage)."""
+    from transilien_api_etl_spark.operators.scd import point_in_time_join, scd2_merge
+
+    dim_v1 = spark.createDataFrame(
+        [(1, "bronze"), (2, "silver")], "cust_id long, tier string"
+    ).withColumn("effective_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    hist = scd2_merge(None, dim_v1, ["cust_id"], ["tier"], "effective_ts")
+    dim_v2 = spark.createDataFrame([(1, "gold")], "cust_id long, tier string").withColumn(
+        "effective_ts", F.lit("2026-01-10 00:00:00").cast("timestamp")
+    )
+    hist = scd2_merge(hist, dim_v2, ["cust_id"], ["tier"], "effective_ts")
+
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2025-12-25 00:00:00"),  # before cust 1 existed
+            (101, 1, "2026-01-05 00:00:00"),  # during bronze
+            (102, 1, "2026-01-10 00:00:00"),  # AT the boundary → gold
+            (103, 1, "2026-02-01 00:00:00"),  # open gold version
+            (104, 2, "2026-03-01 00:00:00"),  # silver, never changed
+        ],
+        "fact_id long, cust_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r.fact_id: r.tier
+        for r in point_in_time_join(facts, hist, ["cust_id"], "ts").collect()
+    }
+    assert got == {100: None, 101: "bronze", 102: "gold", 103: "gold", 104: "silver"}
+
+    inner = point_in_time_join(facts, hist, ["cust_id"], "ts", how="inner")
+    assert {r.fact_id for r in inner.collect()} == {101, 102, 103, 104}

@@ -116,3 +116,47 @@ def as_of_view(history: DataFrame, ts: str) -> DataFrame:
     """Point-in-time snapshot: versions valid at ``ts``."""
     t = F.lit(ts).cast("timestamp")
     return history.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Feature-store point-in-time join: each fact row picks the dimension
+    VERSION in force at its own timestamp — ``valid_from <= fact_ts <
+    valid_to`` per key — never a later one (no feature leakage from the
+    future), never an earlier one once superseded.
+
+    Implemented as an as-of join on ``valid_from`` (backward, per key)
+    rather than a range join: the union/merge-scan strategy gives one
+    shuffle and zero fan-out, and because SCD2 versions per key are
+    contiguous half-open intervals, "latest valid_from at or before
+    fact_ts" IS the interval containing fact_ts. Rows whose fact_ts
+    precedes the key's first version keep null attributes under
+    ``how='left'`` (the honest answer for not-yet-existing entities).
+    """
+    from transilien_api_etl_spark.operators.joins import asof_join
+
+    matched = asof_join(
+        facts,
+        history,
+        on=key_cols,
+        left_ts=fact_ts,
+        right_ts="valid_from",
+        left_keys=[fact_ts],
+        direction="backward",
+        strategy="union",
+    )
+    attr_cols = [
+        c for c in history.columns if c not in (*key_cols, "valid_from", "valid_to")
+    ]
+    out = matched.select(
+        *[F.col(f"l.{c}").alias(c) for c in facts.columns],
+        *[F.col(f"r.{c}").alias(c) for c in ("valid_from", "valid_to", *attr_cols)],
+    )
+    if how == "inner":
+        out = out.filter(F.col("valid_from").isNotNull())
+    return out
