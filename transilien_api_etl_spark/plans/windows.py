@@ -282,3 +282,88 @@ def window_ewma_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", ewma.alias("ewma"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "window_share_of_total",
+    doc="Share-of-total (ratio_to_report): each event's value as a share "
+    "of its user's total. The partition sum runs through DECIMAL so it is "
+    "accumulation-order independent — a double sum would drift by one ulp "
+    "between engines and desync the hash; the final ratio divides two "
+    "exactly-agreed numbers in double.",
+    tags=("window", "ratio"),
+    oracle="""
+SELECT user_id, event_id,
+       value / CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+                 PARTITION BY user_id) AS DOUBLE) AS share
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    total = F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double")
+    return (
+        e.select("user_id", "event_id", (F.col("value") / total).alias("share"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "agg_linreg_user_trend",
+    doc="Per-user OLS trend of value over time, from explicitly-accumulated "
+    "INTEGER moments: x = µs since the user's first event (exact bigint), "
+    "y = value in cents (value has 2 decimals, so round(value·100) is "
+    "exact — no tie can occur), Σx/Σy/Σxy/Σx² accumulate in DECIMAL(38,0) "
+    "with zero per-row rounding anywhere, and only the FINAL slope "
+    "arithmetic runs in double. This is the numerically-reproducible form "
+    "of distributed regression: the built-in regr_slope sums doubles "
+    "(order-dependent), and even per-row double→decimal casts desync "
+    "engines (HALF_UP vs half-even) — integer moments have neither "
+    "problem. Slope is rescaled to value-units per hour at the end.",
+    tags=("agg", "regression"),
+    oracle="""
+WITH x AS (
+  SELECT user_id,
+         epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS xu,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events),
+m AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(sum(CAST(xu AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xu AS DECIMAL(38,0)) * yc) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xu AS DECIMAL(38,0)) * xu) AS DOUBLE) AS sxx
+  FROM x GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) * 36000000.0 END
+         AS slope_per_hour
+FROM m
+ORDER BY user_id
+""",
+)
+def agg_linreg_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    xu = F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w)
+    yc = F.round(F.col("value") * 100).cast("long")
+    x = e.select("user_id", xu.alias("xu"), yc.alias("yc"))
+    xdec = F.col("xu").cast("decimal(38,0)")
+    m = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xdec).cast("double").alias("sx"),
+        F.sum(F.col("yc").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(xdec * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(xdec * F.col("xu")).cast("double").alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # µs·cents units → value per hour: ×3.6e9 (µs/h) ÷100 (cents)
+    slope = F.when(denom == 0, F.lit(None)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom * 36000000.0
+    )
+    return m.select("user_id", "n", slope.alias("slope_per_hour")).orderBy("user_id")
