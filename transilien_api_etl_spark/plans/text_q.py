@@ -408,3 +408,204 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition-quality filters (SURVEY §3 F9 — the two
+# remaining training-data hygiene ops: redact personal data, drop
+# degenerate-repetition docs per Rae et al. 2021 "Gopher" §A.1.1).
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark) patterns —
+# the intersection dialect: no backrefs, no lookaround, ASCII \b.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "docs_pii_scrub",
+    doc="PII redaction (SURVEY §3 F9 — training-data hygiene): the synthetic "
+    "corpus carries no PII, so each doc is first salted with a deterministic "
+    "email/phone/IPv4 derived from doc_id (identically in Spark and the "
+    "oracle), then scrubbed by a JVM-side regexp_replace chain. Per-source "
+    "report proves every planted token was found and removed. At 100 TB this "
+    "is one codegen'd scan — no shuffle until the final small agg.",
+    tags=("text", "pii", "pipeline"),
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id, source,
+         text || ' contact user' || doc_id || '@mail.example.com or ' ||
+         lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         CAST(CAST(floor(doc_id / 7) AS BIGINT) % 256 AS VARCHAR) || '.' ||
+         CAST(doc_id % 254 + 1 AS VARCHAR) AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g') AS clean
+  FROM salted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(sum(n_ips) AS BIGINT) AS ips_redacted,
+       CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+       CAST(sum(CASE WHEN regexp_matches(clean, '{_PII_EMAIL}')
+                       OR regexp_matches(clean, '{_PII_PHONE}')
+                       OR regexp_matches(clean, '{_PII_IPV4}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii_docs
+FROM scrubbed GROUP BY source ORDER BY source
+""",
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or "),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 254 + 1).cast("string"),
+    )
+    s = d.select("doc_id", "source", salted.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    scrubbed = s.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), 0)).alias("n_ips"),
+        clean.alias("clean"),
+    )
+    residual = (
+        F.col("clean").rlike(_PII_EMAIL)
+        | F.col("clean").rlike(_PII_PHONE)
+        | F.col("clean").rlike(_PII_IPV4)
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("emails_redacted"),
+            F.sum("n_phones").cast("long").alias("phones_redacted"),
+            F.sum("n_ips").cast("long").alias("ips_redacted"),
+            F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+            F.sum(residual.cast("int")).cast("long").alias("residual_pii_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_repetition_metrics",
+    doc="Degenerate-repetition quality filters (SURVEY §3 F9; Gopher §A.1.1 "
+    "adapted to a newline-free corpus): per-doc distinct-token ratio, "
+    "top-token share, top-bigram share, and the keep/drop flag. The "
+    "token/bigram mode is computed with a single groupBy per granularity "
+    "keyed on doc_id — partial aggregation bounds the shuffle to distinct "
+    "(doc, gram) pairs, which Zipf keeps far below token volume at 100 TB.",
+    tags=("text", "quality", "pipeline"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+top_tok AS (SELECT doc_id, max(c) AS top_c FROM tok_counts GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+bg_counts AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top_bg AS (SELECT doc_id, max(c) AS top_c FROM bg_counts GROUP BY 1)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       round(len(list_distinct(t.toks)) * 1.0 / t.n_tokens, 6) AS distinct_ratio,
+       round(top_tok.top_c * 1.0 / t.n_tokens, 6) AS top_token_share,
+       round(top_bg.top_c * 1.0 / (t.n_tokens - 1), 6) AS top_bigram_share,
+       CAST(len(list_distinct(t.toks)) * 1.0 / t.n_tokens >= 0.2
+            AND top_tok.top_c * 1.0 / t.n_tokens <= 0.3
+            AND top_bg.top_c * 1.0 / (t.n_tokens - 1) <= 0.18 AS BOOLEAN) AS keep
+FROM t JOIN top_tok USING (doc_id) JOIN top_bg USING (doc_id)
+WHERE t.n_tokens > 1
+ORDER BY t.doc_id
+""",
+)
+def docs_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")).where(
+        F.col("n_tokens") > 1
+    )
+    tok_top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_c"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    bg_top = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg_c"))
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")) * F.lit(1.0) / F.col("n_tokens")
+    top_token_share = F.col("top_tok_c") * F.lit(1.0) / F.col("n_tokens")
+    top_bigram_share = F.col("top_bg_c") * F.lit(1.0) / (F.col("n_tokens") - 1)
+    return (
+        base.join(tok_top, "doc_id")
+        .join(bg_top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(top_token_share, 6).alias("top_token_share"),
+            F.round(top_bigram_share, 6).alias("top_bigram_share"),
+            (
+                (distinct_ratio >= 0.2)
+                & (top_token_share <= 0.3)
+                & (top_bigram_share <= 0.18)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
