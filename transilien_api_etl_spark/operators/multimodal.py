@@ -5,11 +5,17 @@ struct (mime, n_bytes, media-specific fields). Decode / feature-extraction
 runs as Arrow-batched ``mapInPandas`` — the per-batch shape (iterator of
 pandas DataFrames) is exactly what an image/audio library consumes.
 
-The image/audio libs are NOT in this container, so the actual decoders are
-STUBBED: ``decode_features`` computes deterministic fake features from the
-payload bytes (so tests are stable), and ``decode_image`` raises
-NotImplementedError behind an import-try on PIL. The Spark-side plumbing —
-schema, batch iteration, partitioning — is real and tested.
+Two tiers of decoders:
+
+- REAL, zero-dependency codecs for formats parseable with numpy/stdlib:
+  P6 PPM images (``_encode_ppm``/``decode_media_features``) and 16-bit PCM
+  WAV audio (stdlib ``wave``). These run a genuine encode→decode chain,
+  value-checked end-to-end by the ``multimodal_real_decode`` oracle.
+- STUBS for formats needing external libs (JPEG/MP3/MP4): the container
+  ships without PIL/librosa/av, so ``decode_features`` computes
+  deterministic fake features and ``decode_image`` raises
+  NotImplementedError behind an import-try on PIL. The Spark-side plumbing
+  — schema, batch iteration, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -153,3 +159,131 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame", "frame_bytes"])
 
     return df.select(id_col, "payload").mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs — no external libs required. PPM (P6) is a spec-simple pixel
+# container parseable with numpy alone; WAV is encoded/decoded by stdlib
+# ``wave``. These upgrade F11 from "stubbed decode" to a genuine
+# encode→Spark-shuffle→decode chain: the decode stage parses real container
+# bytes it did not produce in the same process stage.
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "doc_id long, mime string, payload binary"
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "framerate int, n_samples int, peak int"
+)
+
+
+def _encode_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 PPM: geometry and per-channel constants derive from
+    doc_id, so a SQL oracle can predict every decoded feature."""
+    w, h = doc_id % 16 + 4, doc_id % 8 + 3
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + bytes([r, g, b]) * (w * h)
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV via stdlib ``wave`` (44-byte
+    canonical header): constant amplitude so RMS/peak/mean are exact."""
+    import io
+    import struct
+    import wave
+
+    n = doc_id % 50 + 10
+    amp = doc_id % 1999 - 999
+    buf = io.BytesIO()
+    wv = wave.open(buf, "wb")
+    wv.setnchannels(1)
+    wv.setsampwidth(2)
+    wv.setframerate(8000)
+    wv.writeframes(struct.pack(f"<{n}h", *([amp] * n)))
+    wv.close()
+    return buf.getvalue()
+
+
+def encode_synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas encode stage: even ids become PPM images, odd ids WAV
+    audio. Runs distributed; payload bytes are real container formats."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mime": ids.map(
+                        lambda i: "image/x-portable-pixmap" if i % 2 == 0 else "audio/wav"
+                    ),
+                    "payload": ids.map(
+                        lambda i: _encode_ppm(int(i)) if i % 2 == 0 else _encode_wav(int(i))
+                    ),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def decode_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage dispatching on mime: a REAL parser per
+    format (numpy header+pixel parse for PPM, stdlib ``wave`` for WAV).
+    Columns not applicable to a modality are null."""
+    import numpy as np
+
+    def _ppm_features(payload: bytes) -> dict:
+        # P6 header: magic, width, height, maxval — whitespace-separated.
+        parts = payload.split(b"\n", 3)
+        if parts[0] != b"P6":
+            raise ValueError("not a P6 PPM payload")
+        w, h = (int(x) for x in parts[1].split())
+        px = np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+        means = px.astype("float64").mean(axis=(0, 1))
+        return {
+            "modality": "image",
+            "width": w,
+            "height": h,
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
+
+    def _wav_features(payload: bytes) -> dict:
+        import io
+        import wave
+
+        rd = wave.open(io.BytesIO(payload), "rb")
+        n = rd.getnframes()
+        samples = np.frombuffer(rd.readframes(n), dtype="<i2")
+        return {
+            "modality": "audio",
+            "framerate": rd.getframerate(),
+            "n_samples": n,
+            "peak": int(np.abs(samples.astype("int64")).max()),
+        }
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "modality", "n_bytes", "width", "height",
+            "mean_r", "mean_g", "mean_b", "framerate", "n_samples", "peak",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                feats = (
+                    _ppm_features(payload)
+                    if mime == "image/x-portable-pixmap"
+                    else _wav_features(payload)
+                )
+                rows.append({"doc_id": doc_id, "n_bytes": len(payload), **feats})
+            out = pd.DataFrame(rows, columns=cols)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["framerate"] = out["framerate"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int32")
+            out["peak"] = out["peak"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(decode, MEDIA_FEATURE_SCHEMA)

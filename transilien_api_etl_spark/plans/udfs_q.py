@@ -22,6 +22,8 @@ from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.operators.multimodal import (
     attach_payload,
     decode_features,
+    decode_media_features,
+    encode_synthetic_media,
     resize_payloads,
     sample_frames,
 )
@@ -338,3 +340,39 @@ def streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFra
     return run_stream_to_memory(out, "append", "sess_timeout").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "multimodal_real_decode",
+    doc="F11 with REAL codecs, no external libs: even doc_ids are encoded "
+    "as genuine P6 PPM images (numpy parses header+pixels back), odd ids "
+    "as 16-bit PCM WAV via stdlib wave (re-read by the wave parser). Both "
+    "stages are distributed Arrow-batched mapInPandas; the oracle predicts "
+    "every decoded feature (geometry, channel means, framerate, peak, "
+    "container byte size incl. the 44-byte WAV header) in closed form from "
+    "doc_id — so the encode→decode chain is value-checked end-to-end.",
+    tags=("multimodal", "udf"),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 9 + length(CAST(doc_id % 16 + 4 AS VARCHAR))
+                        + length(CAST(doc_id % 8 + 3 AS VARCHAR))
+                        + 3 * (doc_id % 16 + 4) * (doc_id % 8 + 3)
+                 ELSE 44 + 2 * (doc_id % 50 + 10) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 4 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 3 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 END AS DOUBLE) AS mean_r,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256 END AS DOUBLE) AS mean_g,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13) % 256 END AS DOUBLE) AS mean_b,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 END AS INT) AS framerate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 50 + 10 END AS INT) AS n_samples,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN abs(doc_id % 1999 - 999) END AS BIGINT) AS peak
+FROM documents ORDER BY doc_id
+""",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    media = encode_synthetic_media(d)
+    return decode_media_features(media).orderBy("doc_id")
