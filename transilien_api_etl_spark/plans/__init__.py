@@ -15,6 +15,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     windows,
     pipeline_q,
     sketches_q,
+    warehouse_q,
     tpch_more,
     domain_q,
     events_q,
