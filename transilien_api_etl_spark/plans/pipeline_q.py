@@ -450,3 +450,116 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "split_train_val_test",
+    doc="Deterministic train/val/test assignment (the reproducible-split "
+    "every training pipeline needs): multiplicative Knuth hash of doc_id "
+    "→ bucket 0-99 → 80/10/10. Pure integer arithmetic so any engine "
+    "derives the identical split — no engine-native hash in the contract. "
+    "One codegen'd scan + tiny agg; trivially scale-safe.",
+    tags=("pipeline", "sampling"),
+    oracle="""
+WITH b AS (
+  SELECT lang, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM b GROUP BY 1, 2 ORDER BY split, lang
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "docs_bigram_lm_score",
+    doc="Perplexity-proxy quality scoring (SURVEY §3 F9 — the n-gram LM "
+    "filter of CCNet/Gopher pipelines, self-trained): global bigram + "
+    "unigram counts over the corpus give P(w2|w1); each doc is scored by "
+    "its mean log-probability. Two shuffles (gram counts, score join) "
+    "keyed on the gram — Zipf keeps distinct grams far below token "
+    "volume, so the model side stays broadcast-or-bucket friendly at "
+    "100 TB. Output limited to doc_id < 200 for a bounded result.",
+    tags=("text", "quality", "pipeline"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+bgc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+scored AS (
+  SELECT bg.doc_id,
+         round(ln(bgc.c2 * 1.0 /
+               (SELECT c1 FROM uni WHERE tok = string_split(bg.bigram, ' ')[1])), 8)
+           AS lp
+  FROM bg JOIN bgc USING (bigram)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 4) AS avg_logprob
+FROM scored WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("bigram"))
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    # The LM tables are corpus-global; at bench scale they are small enough
+    # to broadcast, and Zipf keeps them sublinear in corpus size.
+    model = bgc.withColumn("w1", F.split("bigram", " ").getItem(0)).join(
+        F.broadcast(uni), F.col("w1") == F.col("tok")
+    )
+    scored = bg.join(F.broadcast(model.select("bigram", "c2", "c1")), "bigram").select(
+        "doc_id",
+        F.round(F.log(F.col("c2") * F.lit(1.0) / F.col("c1")), 8).alias("lp"),
+    )
+    return (
+        scored.where(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
