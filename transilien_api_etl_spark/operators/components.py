@@ -91,3 +91,57 @@ def connected_components(
             return labels.unionByName(roots).distinct()
         prev_sig = sig
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration simplified PageRank (no dangling-mass recycling, so
+    a SQL oracle can state each step exactly): uniform init over the node
+    set, then ``iterations`` rounds of
+
+        pr(v) ← (1-d)/N + d · Σ_{u→v} pr(u)/outdeg(u)
+
+    Scale posture: edges and out-degrees are computed once and reused every
+    round; each round is one shuffle join keyed on the node id, and the
+    lineage is cut with a localCheckpoint every other round so the plan
+    does not grow with the iteration count (the connected-components
+    lesson). Returns (node, rank).
+    """
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd")).localCheckpoint(eager=True)
+    pr = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for it in range(iterations):
+        contrib = (
+            pr.join(e, pr.node == e.src)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if it % 2 == 1:
+            pr = pr.localCheckpoint(eager=True)
+    return pr

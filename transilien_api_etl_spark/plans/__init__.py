@@ -16,6 +16,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     pipeline_q,
     sketches_q,
     warehouse_q,
+    graph_q,
     tpch_more,
     domain_q,
     events_q,
