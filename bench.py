@@ -52,6 +52,18 @@ SCALE_DIR = os.environ.get(
 )
 RUN_SCALE = os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
 
+# Wall-clock budget for the WHOLE bench run. The scale phase (60 M-row
+# materialization on a cold cache + slow single-process DuckDB oracles) can
+# exceed an external harness timeout, and a timeout kill would leave no JSON
+# line at all — so every phase-2 step checks the remaining budget and is
+# skipped (and reported in the JSON, never silently) once it runs out.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
+_T_START = time.perf_counter()
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T_START)
+
 
 def sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -66,9 +78,12 @@ def sf_from_dir(path: str) -> float:
 SLOW_QUERY_CUTOFF_S = 5.0
 
 
-def time_spark(specs, spark, data_dir, reps) -> dict[str, float]:
+def time_spark(specs, spark, data_dir, reps, skipped=None) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in sorted(specs):
+        if skipped is not None and remaining() <= 30:
+            skipped.append(f"spark:{name}")
+            continue
         best, n = float("inf"), 0
         for _ in range(reps):  # best-of-N: measures the plan, not JIT/GC noise
             t0 = time.perf_counter()
@@ -81,8 +96,15 @@ def time_spark(specs, spark, data_dir, reps) -> dict[str, float]:
     return timings
 
 
-def time_duckdb(specs, data_dir, reps) -> dict[str, float]:
-    """Run each query's oracle SQL on DuckDB views over the same parquet."""
+def time_duckdb(specs, data_dir, reps, skipped=None) -> dict[str, float]:
+    """Run each query's oracle SQL on DuckDB views over the same parquet.
+
+    Each run is watchdog-guarded (``con.interrupt()``): one pathological
+    single-process oracle (the as-of/sessionize shapes take minutes at 60 M
+    rows) must not eat the whole budget of the remaining queries.
+    """
+    import threading
+
     import duckdb
 
     con = duckdb.connect()
@@ -96,15 +118,32 @@ def time_duckdb(specs, data_dir, reps) -> dict[str, float]:
         sql = REGISTRY[name].oracle
         if not sql:
             continue
+        if skipped is not None and remaining() <= 30:
+            skipped.append(f"duckdb:{name}")
+            continue
+        per_query_cap = max(10.0, min(150.0, remaining() - 15))
         best = float("inf")
         for rep in range(reps + 1):  # rep 0 warms I/O cache + duckdb compile
+            timer = threading.Timer(per_query_cap, con.interrupt)
+            timer.start()
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except duckdb.Error:
+                timer.cancel()
+                if skipped is not None:
+                    skipped.append(f"duckdb-timeout:{name}")
+                best = float("inf")
+                break
+            finally:
+                timer.cancel()
             elapsed = time.perf_counter() - t0
             if rep > 0 or elapsed > SLOW_QUERY_CUTOFF_S:
                 best = min(best, elapsed)
             if elapsed > SLOW_QUERY_CUTOFF_S:
                 break
+        if best == float("inf"):
+            continue
         timings[name] = round(best, 4)
         print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
     con.close()
@@ -131,9 +170,10 @@ def main() -> None:
         "sf": sf_from_dir(SF_DIR),
     }
 
-    if RUN_SCALE:
+    if RUN_SCALE and remaining() > 240:
         from transilien_api_etl_spark.scale import DEFAULT_FACTORS, materialize_scale
 
+        skipped: list[str] = []
         t0 = time.perf_counter()
         rows = materialize_scale(spark, SF_DIR, SCALE_DIR)
         print(
@@ -141,8 +181,8 @@ def main() -> None:
             file=sys.stderr,
         )
         warm.fn(spark, SCALE_DIR).count()
-        spark_t = time_spark(specs, spark, SCALE_DIR, reps=3)
-        duck_t = time_duckdb(specs, SCALE_DIR, reps=2)
+        spark_t = time_spark(specs, spark, SCALE_DIR, reps=3, skipped=skipped)
+        duck_t = time_duckdb(specs, SCALE_DIR, reps=2, skipped=skipped)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
         }
@@ -154,6 +194,11 @@ def main() -> None:
             "ratio": ratio,
             "ratio_median": round(statistics.median(ratio.values()), 3) if ratio else None,
         }
+        if skipped:
+            result["scale"]["skipped"] = skipped
+    elif RUN_SCALE:
+        result["scale_skipped"] = "budget exhausted before scale phase"
+    result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
 
     print(json.dumps(result))
     spark.stop()
