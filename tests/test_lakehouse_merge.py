@@ -110,3 +110,106 @@ def test_aborted_writer_invisible_to_readers(spark, table):
     orphan = spark.createDataFrame([(999, "ghost", 0.0)], "id long, name string, v double")
     lh._write_data_files(orphan, table, ["id"])  # stage without commit
     assert lh.read_table(spark, table).count() == n_before
+
+
+def test_compact_preserves_data_and_improves_layout(spark):
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    # Several point merges create small delta files.
+    for key in (3, 57, 91):
+        src = spark.createDataFrame(
+            [(key, "upd", -1.0)], "id long, name string, v double"
+        )
+        lh.merge_into(spark, table, src)
+    before = lh.load_snapshot(table)
+    rows_before = sorted(
+        tuple(r) for r in lh.read_table(spark, table).collect()
+    )
+    after = lh.compact(spark, table, target_files=2)
+    assert after.version == before.version + 1
+    assert len(after.files) <= len(before.files)
+    rows_after = sorted(tuple(r) for r in lh.read_table(spark, table).collect())
+    assert rows_after == rows_before
+    # Key-sorted layout: file ranges must not overlap after compaction.
+    ranges = sorted((e["min_key"], e["max_key"]) for e in after.files)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+
+
+def test_vacuum_removes_only_unreferenced_files(spark):
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    src = spark.createDataFrame([(3, "x", 0.0)], "id long, name string, v double")
+    lh.merge_into(spark, table, src)
+    latest = lh.load_snapshot(table)
+    removed = lh.vacuum(table, keep_versions=1)
+    assert removed  # the rewritten low file's old copy is gone
+    # Current snapshot still fully readable.
+    assert lh.read_table(spark, table).count() == 100
+    # All remaining manifest entries point at existing files.
+    for e in latest.files:
+        assert os.path.exists(os.path.join(table, e["path"]))
+    # Old manifests are gone: time travel beyond retention raises.
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        lh.load_snapshot(table, 0)
+
+
+def test_change_feed_classifies_all_three_kinds(spark):
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    v0 = lh.load_snapshot(table).version
+    src = spark.createDataFrame(
+        [
+            (3, "updated", 99.0, False),
+            (200, "inserted", 1.0, False),
+            (7, None, 0.0, True),
+        ],
+        "id long, name string, v double, is_delete boolean",
+    )
+    lh.merge_into(spark, table, src, delete_col="is_delete")
+    v1 = lh.load_snapshot(table).version
+    cdc = {
+        r["id"]: r["_change_type"]
+        for r in lh.change_feed(spark, table, v0, v1).collect()
+    }
+    assert cdc[3] == "update_postimage"
+    assert cdc[200] == "insert"
+    assert cdc[7] == "delete"
+    # Unchanged keys in rewritten files must NOT appear: the diff is
+    # key-accurate even though rewrites copy untouched neighbours.
+    assert 42 not in cdc
+    assert set(cdc) == {3, 200, 7}
+    # Identical versions diff to empty.
+    assert lh.change_feed(spark, table, v1, v1).count() == 0
+
+
+def test_streaming_merge_sink_exactly_once(spark):
+    import tempfile as _tf
+
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    d = _tf.mkdtemp(prefix="stream-merge-")
+    src_dir = os.path.join(d, "in")
+    spark.createDataFrame(
+        [(i, "streamed", float(i * 10)) for i in range(90, 110)],
+        "id long, name string, v double",
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("id long, name string, v double").parquet(src_dir)
+    sink = lh.stream_merge_sink(table)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["id"]: r["name"] for r in lh.read_table(spark, table).collect()}
+    assert got[95] == "streamed" and got[105] == "streamed"
+    assert len(got) == 110
+    # Replaying the same batch id must be a no-op (crash-between-commit
+    # -and-checkpoint simulation).
+    version_before = lh.load_snapshot(table).version
+    replay = spark.createDataFrame(
+        [(95, "REPLAYED", 0.0)], "id long, name string, v double"
+    )
+    sink(replay, 0)  # batch id 0 already applied
+    assert lh.load_snapshot(table).version == version_before
+    assert lh.read_table(spark, table).where("id = 95").collect()[0]["name"] == "streamed"

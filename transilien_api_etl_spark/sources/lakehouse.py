@@ -258,3 +258,170 @@ def _merge_once(
     new_entries = _write_data_files(merged, table, key_cols) if merged.head(1) else []
     _commit(table, snap.version + 1, key_cols, untouched + new_entries)
     return load_snapshot(table, snap.version + 1)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance + change-data-capture surface: the three operations that make
+# the MERGE table production-complete (OPTIMIZE/compact, VACUUM, CDF).
+# ---------------------------------------------------------------------------
+
+
+def compact(
+    spark: SparkSession,
+    table: str,
+    *,
+    target_files: int = 4,
+    small_file_rows: int | None = None,
+) -> Snapshot:
+    """OPTIMIZE: rewrite the small files of the current snapshot into
+    ``target_files`` key-sorted files; files already larger than
+    ``small_file_rows`` are carried by reference. Data is unchanged (a
+    reader of version N+1 sees the same rows), only the layout improves —
+    key-sorted output restores min/max pruning locality degraded by many
+    small MERGE deltas. Commits like any writer, so it conflicts (and
+    retries) against concurrent MERGEs via the same version CAS."""
+    snap = load_snapshot(table)
+    if small_file_rows is None:
+        rewrite = list(snap.files)
+        keep: list[dict] = []
+    else:
+        rewrite = [e for e in snap.files if e["rows"] <= small_file_rows]
+        keep = [e for e in snap.files if e["rows"] > small_file_rows]
+    if len(rewrite) <= 1:
+        return snap  # nothing to compact
+    k = list(snap.key_cols)[0]
+    df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in rewrite])
+    packed = df.repartitionByRange(target_files, F.col(k))
+    entries = _write_data_files(packed, table, list(snap.key_cols))
+    _commit(table, snap.version + 1, list(snap.key_cols), keep + entries)
+    return load_snapshot(table, snap.version + 1)
+
+
+def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced only by manifests older than the last
+    ``keep_versions`` snapshots (and drop those manifests). Returns the
+    removed file paths. The retention window is what keeps time travel and
+    in-flight readers safe — identical contract to Delta's VACUUM."""
+    latest = _latest_version(table)
+    if latest is None:
+        return []
+    cutoff = max(0, latest - keep_versions + 1)
+    live: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        live |= {e["path"] for e in load_snapshot(table, v).files}
+    removed: list[str] = []
+    for v in range(0, cutoff):
+        mp = _manifest_path(table, v)
+        if not os.path.exists(mp):
+            continue
+        for e in load_snapshot(table, v).files:
+            if e["path"] not in live:
+                full = os.path.join(table, e["path"])
+                if os.path.exists(full):
+                    os.remove(full)
+                    removed.append(e["path"])
+                live.add(e["path"])  # only report once
+        os.remove(mp)
+    return removed
+
+
+def change_feed(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    ``_change_type`` ∈ insert / update_postimage / delete. Computed as a
+    key-joined diff of the two snapshot reads restricted (via the manifest
+    stats) to files that differ — identical snapshots diff for free. The
+    post-image is emitted for updates (the shape downstream MERGE
+    consumers need)."""
+    old_snap = load_snapshot(table, from_version)
+    new_snap = load_snapshot(table, to_version)
+    key_cols = list(new_snap.key_cols)
+    # Files common to both snapshots hold identical immutable rows — only
+    # the symmetric difference can produce changes.
+    old_only = [e["path"] for e in old_snap.files if e not in new_snap.files]
+    new_only = [e["path"] for e in new_snap.files if e not in old_snap.files]
+    if not old_only and not new_only:
+        schema = read_table(spark, table, to_version).schema
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_change_type", F.lit("insert"))
+            .limit(0)
+        )
+    old_df = (
+        spark.read.parquet(*[os.path.join(table, p) for p in old_only])
+        if old_only
+        else None
+    )
+    new_df = (
+        spark.read.parquet(*[os.path.join(table, p) for p in new_only])
+        if new_only
+        else None
+    )
+    if old_df is None:
+        return new_df.withColumn("_change_type", F.lit("insert"))
+    if new_df is None:
+        return old_df.withColumn("_change_type", F.lit("delete"))
+    data_cols = [c for c in new_df.columns if c not in key_cols]
+    o = old_df.withColumn("__o", F.lit(True)).alias("o")
+    n = new_df.withColumn("__n", F.lit(True)).alias("n")
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & (
+            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        )
+    change = (
+        F.when(F.col("__o").isNull(), "insert")
+        .when(F.col("__n").isNull(), "delete")
+        .when(~same, "update_postimage")
+    )
+    out_cols = [
+        F.when(F.col("__n").isNotNull(), F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
+        for c in data_cols
+    ]
+    return (
+        j.select(*key_cols, *out_cols, change.alias("_change_type"))
+        .where(F.col("_change_type").isNotNull())
+    )
+
+
+def stream_merge_sink(table: str, delete_col: str | None = None):
+    """foreachBatch sink: exactly-once streaming MERGE into the table.
+
+    Idempotent replay: each micro-batch commit records its (stream) batch
+    id in the manifest; a replayed batch id is a no-op, so retries after a
+    crash between sink-commit and checkpoint-advance cannot double-apply —
+    the same contract as Delta's ``txnVersion``/``txnAppId``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snap = load_snapshot(table)
+        applied = _applied_batches(table, snap.version)
+        if batch_id in applied:
+            return
+        new_snap = merge_into(spark, table, batch_df, delete_col=delete_col)
+        _record_batch(table, new_snap.version, applied | {batch_id})
+
+    return write_batch
+
+
+def _batches_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG, f"b{version:08d}.json")
+
+
+def _applied_batches(table: str, version: int) -> set[int]:
+    p = _batches_path(table, version)
+    if not os.path.exists(p):
+        return set()
+    with open(p, encoding="utf-8") as f:
+        return set(json.load(f))
+
+
+def _record_batch(table: str, version: int, batches: set[int]) -> None:
+    tmp = _batches_path(table, version) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(sorted(batches), f)
+    os.replace(tmp, _batches_path(table, version))
