@@ -96,3 +96,69 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "tok")
         .limit(TOP_K)
     )
+
+
+@register(
+    "sketch_hll_mergeable_rollup",
+    doc="Mergeable HLL distinct-count rollup (Apache DataSketches via "
+    "hll_sketch_agg / hll_union_agg): per-priority customer sketches are "
+    "built once, then the GLOBAL distinct estimate is derived by merging "
+    "the per-group sketches — never rescanning the data. That "
+    "sketch-union algebra is the 100 TB rollup pattern (hourly sketches → "
+    "daily → monthly, one scan total). The oracle states exact distincts "
+    "and TRUE accuracy flags; an estimate drifting >2% of truth on "
+    "either path (sketch-merged or direct) fails the hash match.",
+    tags=("sketch", "approx", "agg"),
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+),
+gtotal AS (
+  SELECT 'ALL' AS grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders
+)
+SELECT grp, n_exact, TRUE AS est_within_2pct, TRUE AS merge_within_2pct
+FROM (SELECT * FROM per UNION ALL SELECT * FROM gtotal)
+ORDER BY grp
+""",
+)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").cast("long").alias("n_exact"),
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.lit("ALL").alias("grp"),
+    )
+    direct = o.agg(
+        F.hll_sketch_agg("o_custkey").alias("sk_direct"),
+        F.count_distinct("o_custkey").cast("long").alias("n_exact"),
+    )
+    g = merged.crossJoin(direct).select(
+        "grp",
+        "n_exact",
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.hll_sketch_estimate("sk_direct").alias("est_direct"),
+    )
+    per_rows = per.select(
+        "grp",
+        "n_exact",
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.hll_sketch_estimate("sk").alias("est_direct"),
+    )
+    both = per_rows.unionByName(g)
+    return both.select(
+        "grp",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= 0.02
+        ).alias("est_within_2pct"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact")) / F.col("n_exact") <= 0.02
+        ).alias("merge_within_2pct"),
+    ).orderBy("grp")
