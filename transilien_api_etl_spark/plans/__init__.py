@@ -17,6 +17,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     sketches_q,
     warehouse_q,
     graph_q,
+    sql_surface_q,
     tpch_more,
     domain_q,
     events_q,
