@@ -99,3 +99,33 @@ def test_stream_reader_polls_cycles(spark, endpoint, tmp_path):
     # repeated polls dedup to one row per (station, num) — the T6 shape
     dedup = spark.sql("SELECT count(DISTINCT station || '/' || num) c FROM xml_poll").first().c
     assert dedup == 18
+
+
+def test_native_from_xml_parser_matches_pandas_parser(spark):
+    from transilien_api_etl_spark.sources.realtime import (
+        parse_passages,
+        parse_passages_native,
+    )
+
+    payloads = [
+        (
+            "87271007",
+            _xml(
+                "87271007",
+                [
+                    '<train><date mode="R">02/01/2026 08:05</date><num>123456</num>'
+                    "<miss>POPI</miss><term>87384008</term><etat>Retardé</etat></train>",
+                    '<train><date mode="T">02/01/2026 08:20</date><num>654321</num>'
+                    "<miss>NOPE</miss><term>87384008</term></train>",
+                ],
+            ),
+        ),
+        ("87999999", "<not-xml"),  # malformed → dropped by both parsers
+        ("87000000", None),  # null payload → dropped by both parsers
+    ]
+    raw = spark.createDataFrame(payloads, "station string, xml string")
+    cols = ["station", "num", "miss", "term", "date_text", "mode", "etat"]
+    ref = sorted(tuple(r) for r in parse_passages(raw).select(cols).collect())
+    nat = sorted(tuple(r) for r in parse_passages_native(raw).select(cols).collect())
+    assert nat == ref
+    assert len(nat) == 2

@@ -108,3 +108,36 @@ def normalize_passages(passages: DataFrame, cutoff_hours: int = 3) -> DataFrame:
         .withColumn("realtime", F.coalesce(F.col("mode") == "R", F.lit(False)))
         .drop("date_text")
     )
+
+
+def parse_passages_native(
+    raw: DataFrame, station_col: str = "station", xml_col: str = "xml"
+) -> DataFrame:
+    """JVM-native twin of ``parse_passages`` via Spark 4's built-in
+    ``from_xml`` (the spark-xml reader folded into core): the whole parse
+    stays in codegen — no Python crossing at all — with spark-xml's
+    conventions (attributes as ``_mode``, element text-with-attributes as
+    ``_VALUE``). Malformed payloads parse to NULL structs and drop, the
+    same skip-bad-station semantics as the pandas parser. Prefer this on
+    the 100 TB path; ``parse_passages`` remains the library-parity
+    reference implementation (equivalence-tested)."""
+    xml_schema = (
+        "train ARRAY<STRUCT<num: STRING, miss: STRING, term: STRING, "
+        "date: STRUCT<_VALUE: STRING, _mode: STRING>, etat: STRING>>"
+    )
+    parsed = raw.select(
+        F.col(station_col).alias("station"),
+        F.from_xml(F.col(xml_col), xml_schema).alias("doc"),
+    )
+    t = parsed.where(F.col("doc").isNotNull()).select(
+        "station", F.explode("doc.train").alias("t")
+    )
+    return t.select(
+        "station",
+        F.col("t.num").alias("num"),
+        F.col("t.miss").alias("miss"),
+        F.col("t.term").alias("term"),
+        F.col("t.date._VALUE").alias("date_text"),
+        F.col("t.date._mode").alias("mode"),
+        F.col("t.etat").alias("etat"),
+    )
