@@ -19,7 +19,10 @@ from transilien_api_etl_spark.operators.delays import delay_board
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 from transilien_api_etl_spark.sources.gtfs import scheduled_departures
-from transilien_api_etl_spark.sources.realtime import normalize_passages, parse_passages
+from transilien_api_etl_spark.sources.realtime import (
+    normalize_passages,
+    parse_passages_native,
+)
 
 _DAY = "20260102"  # a Friday
 
@@ -120,7 +123,9 @@ ORDER BY station7, train_num, stop_sequence
 def transilien_delay_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     sched = scheduled_departures(_gtfs(spark), _DAY).withColumnRenamed("stop_id", "station7")
-    observed = normalize_passages(parse_passages(_passages_xml(spark)))
+    # JVM-native from_xml path (zero Python crossing); the pandas parser
+    # remains the equivalence-tested reference (tests/test_python_datasource.py).
+    observed = normalize_passages(parse_passages_native(_passages_xml(spark)))
     board = delay_board(sched, observed)
     return board.select(
         "service_day",

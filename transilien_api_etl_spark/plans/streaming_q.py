@@ -345,3 +345,117 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", F.round("total", 2).alias("total"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    doc="Stream-stream LEFT OUTER join with watermark-driven null emission "
+    "(the hard half of T8+): each click left-joined to purchases in the "
+    "30 minutes after it. A null-padded row may only emit once the "
+    "watermark PROVES no purchase can still arrive, so the oracle keeps "
+    "matched rows unconditionally and unmatched rows only when the click's "
+    "join window closed before end-of-stream (watermark delay 0s ⇒ final "
+    "watermark = max event time — same contract the timer-sessionizer "
+    "leans on).",
+    tags=("streaming", "join", "outer"),
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+  AND (p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events))
+ORDER BY click_id, purchase_id
+""",
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return run_stream_to_memory(joined, "append", "ssljoin").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@register(
+    "streaming_chained_windows",
+    doc="Chained stateful window aggregations in ONE streaming query "
+    "(Spark 3.5+ multi-stateful-operator support via window_time): 10-min "
+    "tumbling event counts re-aggregated into hourly min/max/avg of the "
+    "10-min buckets — the streaming rollup cascade that previously needed "
+    "two jobs and an intermediate topic. Oracle is the identical two-level "
+    "batch aggregation.",
+    tags=("streaming", "window-agg", "chained"),
+    oracle="""
+WITH ten AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10, count(*) AS n
+  FROM events GROUP BY 1
+  -- append-mode closure: a window only emits once the watermark (= max
+  -- event time at end-of-stream) has passed its END; unclosed tails stay
+  -- in state. Mirrored at both levels.
+  HAVING time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+           <= (SELECT max(ts) FROM events)
+)
+SELECT time_bucket(INTERVAL 1 HOUR, w10) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_10m,
+       CAST(max(n) AS BIGINT) AS max_10m,
+       CAST(sum(n) AS BIGINT) AS total
+FROM ten
+GROUP BY 1
+HAVING time_bucket(INTERVAL 1 HOUR, w10) + INTERVAL 1 HOUR
+         <= (SELECT max(ts) FROM events)
+ORDER BY hour_start
+""",
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    ten = s.groupBy(F.window("ts", "10 minutes").alias("w10")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hourly = (
+        ten.groupBy(F.window(F.window_time("w10"), "1 hour").alias("wh"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n").cast("long").alias("min_10m"),
+            F.max("n").cast("long").alias("max_10m"),
+            F.sum("n").cast("long").alias("total"),
+        )
+    )
+    out = hourly.select(
+        F.col("wh.start").alias("hour_start"),
+        "n_buckets",
+        "min_10m",
+        "max_10m",
+        "total",
+    )
+    return run_stream_to_memory(out, "append", "chained").orderBy("hour_start")

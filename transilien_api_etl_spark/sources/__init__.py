@@ -16,4 +16,5 @@ from transilien_api_etl_spark.sources.realtime import (  # noqa: F401
     RAW_PASSAGE_SCHEMA,
     normalize_passages,
     parse_passages,
+    parse_passages_native,
 )
