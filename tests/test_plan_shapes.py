@@ -28,6 +28,9 @@ NLJ_ALLOWED = {
     # value > scalar-total comparison: BNLJ against a broadcast 1-row
     # aggregate — bounded by construction, the right plan at any scale
     "q11_important_part_value",
+    # merged-sketch row × direct-sketch row: both sides are single-row
+    # aggregates, the cross join is 1×1 by construction
+    "sketch_hll_mergeable_rollup",
 }
 
 FACT_QUERIES = [
@@ -78,6 +81,17 @@ FACT_QUERIES = [
     "window_ewma_10",
     "dq_profile_orders",
     "sample_k_per_source",
+    # round-2 session additions
+    "docs_pii_scrub",
+    "docs_repetition_metrics",
+    "docs_bigram_lm_score",
+    "split_train_val_test",
+    "graph_pagerank_trade",
+    "sql_lateral_top2_orders",
+    "fn_variant_props",
+    "fn_listagg_ordered",
+    "fn_try_arithmetic",
+    "streaming_chained_windows",
 ]
 
 
@@ -168,3 +182,18 @@ def test_whole_stage_codegen_on_q1(spark):
     plan = buf.getvalue()
     # the scan+filter+partial-agg pipeline must be one fused codegen subtree
     assert "WholeStageCodegen subtree" in plan, plan
+
+
+def test_lateral_decorrelates_to_window_topk(spark):
+    """Correlated LATERAL + LIMIT must become the window/top-k shape, not a
+    per-outer-row rescan (the decorrelation SURVEY §5 promises)."""
+    plan = _physical_plan(spark, "sql_lateral_top2_orders")
+    assert "Window" in plan, f"lateral did not decorrelate to a window:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_query_is_single_scan(spark):
+    """VARIANT parse + typed extraction must fuse into one scan + one agg —
+    a second scan would double the 100 TB read."""
+    plan = _physical_plan(spark, "fn_variant_props")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2

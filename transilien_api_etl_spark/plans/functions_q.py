@@ -359,3 +359,69 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("val", F.round("val", 2))
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@register(
+    "fn_listagg_ordered",
+    doc="Ordered string aggregation (Spark 4.1 listagg WITHIN GROUP — the "
+    "SQL-standard spelling of A5's ordered nesting): top-balance customer "
+    "names per nation, deterministically ordered inside the aggregate. "
+    "DuckDB twin is string_agg(... ORDER BY ...).",
+    tags=("functions", "agg", "strings"),
+    oracle="""
+SELECT n_name,
+       string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name) AS names,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def fn_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_la_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_la_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_acctbal DESC, c_name)
+                 AS names,
+               count(*) AS n
+        FROM _la_customer JOIN _la_nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000
+        GROUP BY n_name ORDER BY n_name
+        """
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    doc="Error-safe arithmetic (Spark 4 try_divide/try_add/try_multiply — "
+    "F7 hardened: a malformed row yields NULL instead of killing a 100 TB "
+    "job under ANSI mode): division by a zero-able denominator plus "
+    "overflow-prone bigint math, nulls counted per status. Oracle spells "
+    "the same semantics with NULLIF/CASE.",
+    tags=("functions", "conditional", "nulls"),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_div,
+       round(sum(coalesce(o_totalprice / NULLIF(o_orderkey % 10, 0), 0)), 2)
+         AS sum_safe_div
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    safe_div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(safe_div.isNull().cast("int")).cast("long").alias("n_null_div"),
+            F.round(F.sum(F.coalesce(safe_div, F.lit(0.0))), 2).alias("sum_safe_div"),
+        )
+        .orderBy("o_orderstatus")
+    )
