@@ -213,3 +213,40 @@ def test_streaming_merge_sink_exactly_once(spark):
     sink(replay, 0)  # batch id 0 already applied
     assert lh.load_snapshot(table).version == version_before
     assert lh.read_table(spark, table).where("id = 95").collect()[0]["name"] == "streamed"
+
+
+def test_schema_evolution_adds_and_retains_columns(spark):
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    # Source carries a NEW column `score` and LACKS the existing `v`.
+    src = spark.createDataFrame(
+        [(3, "updated", 0.9), (200, "inserted", 0.5)],
+        "id long, name string, score double",
+    )
+    lh.merge_into(spark, table, src)
+    out = lh.read_table(spark, table)
+    assert set(out.columns) == {"id", "name", "v", "score"}
+    got = {r["id"]: r for r in out.collect()}
+    # Updated row: new col set, absent col RETAINED from target.
+    assert got[3]["score"] == 0.9 and got[3]["v"] == 3.0 and got[3]["name"] == "updated"
+    # Inserted row: absent col NULL.
+    assert got[200]["score"] == 0.5 and got[200]["v"] is None
+    # Untouched rows (old files, pre-evolution schema): score reads NULL.
+    assert got[42]["score"] is None and got[42]["v"] == 42.0
+    # CDC across the evolution is still key-accurate.
+    v1 = lh.load_snapshot(table).version
+    cdc = {r["id"]: r["_change_type"] for r in lh.change_feed(spark, table, v1 - 1, v1).collect()}
+    assert cdc == {3: "update_postimage", 200: "insert"}
+
+
+def test_stats_pruned_read_skips_files(spark):
+    import pyspark.sql.functions as F
+
+    table = _mk_table(spark, [(i, f"n{i}", float(i)) for i in range(100)])
+    pruned = lh.read_table(spark, table, key_between=(10, 20))
+    # Only the [0,49] file is opened.
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files == 1
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(10, 21))
+    # Empty range: schema preserved, zero rows, zero data read beyond footer.
+    empty = lh.read_table(spark, table, key_between=(500, 600))
+    assert empty.count() == 0 and set(empty.columns) == {"id", "name", "v"}

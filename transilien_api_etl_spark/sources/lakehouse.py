@@ -24,6 +24,12 @@ touches O(changed) files, not O(table). Readers resolve a manifest, never
 the directory — in-flight or aborted writers are invisible (snapshot
 isolation), and any historical version stays readable (time travel).
 
+Also provided: automatic schema evolution on MERGE (column union —
+source-only columns born NULL on old rows, target-only columns retained on
+updates), manifest-stats data skipping on read (``key_between``), OPTIMIZE
+compaction, VACUUM with retention, a CDC change feed, and an exactly-once
+streaming MERGE sink (batch-id replay protection).
+
 At real scale the only substitutions are object-store paths and a
 conditional-PUT (or metastore CAS) in place of ``os.link`` — the protocol
 shape is identical.
@@ -140,12 +146,36 @@ def create_table(
 
 
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    *,
+    key_between: tuple | None = None,
 ) -> DataFrame:
-    """Manifest-resolved snapshot read (time travel via ``version``)."""
+    """Manifest-resolved snapshot read (time travel via ``version``).
+
+    ``key_between=(lo, hi)`` applies manifest-stats data skipping: files
+    whose [min_key, max_key] cannot intersect the range are never opened —
+    the planner-side half of predicate pushdown that parquet row-group
+    stats alone can't give you across thousands of files at 100 TB. The
+    residual filter is still applied, so the result is exact.
+    ``mergeSchema`` is on: files written before a schema evolution read
+    their missing columns as NULL."""
     snap = load_snapshot(table, version)
-    paths = [os.path.join(table, e["path"]) for e in snap.files]
-    return spark.read.parquet(*paths)
+    files = list(snap.files)
+    if key_between is not None:
+        lo, hi = key_between
+        files = [e for e in files if not (e["max_key"] < lo or e["min_key"] > hi)]
+        if not files:
+            # Preserve the schema: scan one file's footer, return 0 rows.
+            any_file = os.path.join(table, snap.files[0]["path"])
+            return spark.read.parquet(any_file).limit(0)
+    paths = [os.path.join(table, e["path"]) for e in files]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if key_between is not None:
+        k = snap.key_cols[0]
+        df = df.where((F.col(k) >= lo) & (F.col(k) <= hi))
+    return df
 
 
 def table_history(table: str) -> list[dict]:
@@ -215,17 +245,37 @@ def _merge_once(
     ]
     untouched = [e for e in snap.files if (e["max_key"] < lo or e["min_key"] > hi)]
 
-    data_cols = [c for c in source.columns if c != delete_col]
+    src_cols = [c for c in source.columns if c != delete_col]
+    missing_keys = [c for c in key_cols if c not in src_cols]
+    if missing_keys:
+        raise ValueError(f"merge source lacks key column(s) {missing_keys}")
     src = source
     if delete_col is None:
         src = src.withColumn("__delete", F.lit(False))
     else:
         src = src.withColumn("__delete", F.coalesce(F.col(delete_col), F.lit(False)))
-    src = src.select(*data_cols, "__delete")
+    src = src.select(*src_cols, "__delete")
+
+    # Schema evolution (column union): the table schema is the union of
+    # the current snapshot's columns and the source's. Source-only columns
+    # are born NULL on pre-existing rows (old files read as NULL via
+    # mergeSchema); target-only columns are RETAINED on updated rows and
+    # NULL on inserts — Delta's WHEN MATCHED UPDATE SET * semantics under
+    # automatic schema merge.
+    if snap.files:
+        tbl_cols = spark.read.parquet(
+            os.path.join(table, snap.files[0]["path"])
+        ).columns
+    else:
+        tbl_cols = []
+    all_data_cols = [c for c in tbl_cols if c not in key_cols] + [
+        c for c in src_cols if c not in tbl_cols and c not in key_cols
+    ]
 
     if touched:
-        target = spark.read.parquet(
-            *[os.path.join(table, e["path"]) for e in touched]
+        target = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(table, e["path"]) for e in touched])
         )
         # Full outer on the keys classifies every row exactly once; presence
         # is detected via never-null marker columns, so null-valued data
@@ -237,22 +287,27 @@ def _merge_once(
         )
         keep_target = F.col("__s").isNull()  # unmatched target rows survive as-is
         insert_or_update = F.col("__s").isNotNull() & ~F.col("__delete")
+
+        def merged_col(c):
+            t_val = F.col(f"t.{c}") if c in target.columns else F.lit(None)
+            s_val = F.col(f"s.{c}") if c in src_cols else t_val
+            return F.when(keep_target, t_val).otherwise(s_val).alias(c)
+
         merged = joined.select(
             *key_cols,
-            *[
-                F.when(keep_target, F.col(f"t.{c}"))
-                .otherwise(F.col(f"s.{c}"))
-                .alias(c)
-                for c in data_cols
-                if c not in key_cols
-            ],
+            *[merged_col(c) for c in all_data_cols],
             keep_target.alias("__keep_t"),
             insert_or_update.alias("__take_s"),
         ).where(F.col("__keep_t") | F.col("__take_s"))
-        merged = merged.select(*key_cols, *[c for c in data_cols if c not in key_cols])
+        merged = merged.select(*key_cols, *all_data_cols)
     else:
-        merged = src.where(~F.col("__delete")).select(
-            *key_cols, *[c for c in data_cols if c not in key_cols]
+        inserts = src.where(~F.col("__delete"))
+        merged = inserts.select(
+            *key_cols,
+            *[
+                (F.col(c) if c in src_cols else F.lit(None)).alias(c)
+                for c in all_data_cols
+            ],
         )
 
     new_entries = _write_data_files(merged, table, key_cols) if merged.head(1) else []
@@ -349,12 +404,14 @@ def change_feed(
             .limit(0)
         )
     old_df = (
-        spark.read.parquet(*[os.path.join(table, p) for p in old_only])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, p) for p in old_only])
         if old_only
         else None
     )
     new_df = (
-        spark.read.parquet(*[os.path.join(table, p) for p in new_only])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, p) for p in new_only])
         if new_only
         else None
     )
@@ -362,14 +419,23 @@ def change_feed(
         return new_df.withColumn("_change_type", F.lit("insert"))
     if new_df is None:
         return old_df.withColumn("_change_type", F.lit("delete"))
-    data_cols = [c for c in new_df.columns if c not in key_cols]
+    # Column union across the two snapshots: a schema evolution between
+    # from_version and to_version leaves old files without the new columns
+    # (they diff as NULL on the old side).
+    data_cols = [c for c in new_df.columns if c not in key_cols] + [
+        c for c in old_df.columns if c not in new_df.columns and c not in key_cols
+    ]
+
+    def _side(prefix, df_cols, c):
+        return F.col(f"{prefix}.{c}") if c in df_cols else F.lit(None)
+
     o = old_df.withColumn("__o", F.lit(True)).alias("o")
     n = new_df.withColumn("__n", F.lit(True)).alias("n")
     j = o.join(n, on=key_cols, how="full_outer")
     same = F.lit(True)
     for c in data_cols:
-        same = same & (
-            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = same & _side("o", old_df.columns, c).eqNullSafe(
+            _side("n", new_df.columns, c)
         )
     change = (
         F.when(F.col("__o").isNull(), "insert")
@@ -377,8 +443,8 @@ def change_feed(
         .when(~same, "update_postimage")
     )
     out_cols = [
-        F.when(F.col("__n").isNotNull(), F.col(f"n.{c}"))
-        .otherwise(F.col(f"o.{c}"))
+        F.when(F.col("__n").isNotNull(), _side("n", new_df.columns, c))
+        .otherwise(_side("o", old_df.columns, c))
         .alias(c)
         for c in data_cols
     ]
