@@ -131,9 +131,12 @@ def time_duckdb(specs, data_dir, reps, skipped=None) -> dict[str, float]:
                 con.execute(sql).fetchall()
             except duckdb.Error:
                 timer.cancel()
+                # Record the cap as a LOWER BOUND on DuckDB's time (flagged
+                # in `skipped`): the Spark/DuckDB ratio derived from it is
+                # then a conservative upper bound instead of a silent hole.
                 if skipped is not None:
-                    skipped.append(f"duckdb-timeout:{name}")
-                best = float("inf")
+                    skipped.append(f"duckdb-timeout-lower-bound:{name}")
+                best = per_query_cap
                 break
             finally:
                 timer.cancel()
