@@ -63,3 +63,36 @@ def test_jdbc_roundtrip_partitioned_read_and_pushdown(spark, tmp_path):
     assert read_jdbc(spark, url, "people", driver=DRIVER).count() == 1005
     write_jdbc(src.limit(5), url, "people", mode="overwrite", driver=DRIVER)
     assert read_jdbc(spark, url, "people", driver=DRIVER).count() == 5
+
+
+def test_streaming_jdbc_sink_exactly_once(spark, tmp_path):
+    import os
+
+    from transilien_api_etl_spark.sources.sinks import jdbc_exactly_once_sink
+
+    url = f"jdbc:derby:{tmp_path}/derbystream;create=true"
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(500)], "k long, val string"
+    ).write.parquet(src_dir)
+    sink = jdbc_exactly_once_sink(url, "events_sink", DRIVER)
+    q = (
+        spark.readStream.schema("k long, val string")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    back = read_jdbc(spark, url, "events_sink", driver=DRIVER)
+    assert back.count() == 500
+
+    # Crash-replay simulation: the SAME batch id is delivered again — the
+    # audit table must make it a no-op, not a double insert.
+    replay = spark.createDataFrame([(9999, "dup")], "k long, val string")
+    sink(replay, 0)
+    assert read_jdbc(spark, url, "events_sink", driver=DRIVER).count() == 500
+    # A genuinely new batch id still lands.
+    sink(replay, 1)
+    assert read_jdbc(spark, url, "events_sink", driver=DRIVER).count() == 501

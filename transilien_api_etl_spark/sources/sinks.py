@@ -153,3 +153,62 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def jdbc_exactly_once_sink(url: str, table: str, driver: str):
+    """foreachBatch sink: EXACTLY-ONCE streaming append into a JDBC table.
+
+    The weak spot of naive foreachBatch-to-JDBC is the crash window between
+    "rows inserted" and "checkpoint advanced" — a restart replays the batch
+    and double-inserts. Closed here with the stage-then-publish protocol:
+
+    1. the micro-batch is written (parallel, idempotent ``overwrite``) to a
+       per-sink staging table;
+    2. ONE database transaction then checks the batch-id audit table,
+       INSERT..SELECTs staging into the target (rows never pass through
+       the driver), and records the batch id — commit is atomic, so a
+       replayed batch sees its id and no-ops.
+
+    Works on any JDBC database with transactions; exercised against the
+    embedded Derby engine in tests/test_jdbc.py."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stage = f"{table}_stage"
+        write_jdbc(batch_df, url, stage, mode="overwrite", driver=driver)
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            # Each CREATE commits alone: a pre-existing table must not roll
+            # back a sibling CREATE that succeeded in the same txn.
+            for ddl in (
+                f"CREATE TABLE {table}_audit (batch_id BIGINT PRIMARY KEY)",
+                f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA",
+            ):
+                try:
+                    st.executeUpdate(ddl)
+                    conn.commit()
+                except Exception:
+                    conn.rollback()  # table exists — restart the txn cleanly
+            rs = st.executeQuery(
+                f"SELECT count(*) FROM {table}_audit WHERE batch_id = {int(batch_id)}"
+            )
+            rs.next()
+            if rs.getInt(1) > 0:
+                conn.rollback()
+                return
+            st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stage}")
+            st.executeUpdate(
+                f"INSERT INTO {table}_audit VALUES ({int(batch_id)})"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    return write_batch
