@@ -162,3 +162,36 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_direct") - F.col("n_exact")) / F.col("n_exact") <= 0.02
         ).alias("merge_within_2pct"),
     ).orderBy("grp")
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    doc="EXACT distinct counting via mergeable bitmaps (Spark 3.5 "
+    "bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg — "
+    "A2's third path beside exact count-distinct and HLL): keys bucket "
+    "into 32768-bit bitmaps, per-bucket bitmaps OR-merge cheaply, and "
+    "popcounts sum to the exact answer. Unlike count(DISTINCT) this "
+    "pre-aggregates map-side into fixed-size state — the exact-distinct "
+    "pattern that survives 100 TB rollups. Oracle: plain count(DISTINCT).",
+    tags=("agg", "sketch", "bitmap"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_bm_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_distinct
+        FROM (
+          SELECT o_orderpriority, bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+          FROM _bm_orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
