@@ -1,0 +1,147 @@
+"""Fixed-iteration Lloyd k-means over an embedding column (SemDeDup stage 1).
+
+Semantic dedup (Abbas et al., "SemDeDup", 2023) prunes near-duplicate
+training examples by (1) clustering embeddings with k-means and (2)
+comparing pairs only WITHIN a cluster — turning an O(n²) all-pairs cosine
+into O(Σ cluster_size²). This module is stage 1; the within-cluster prune
+is composed in ``plans/semdedup_q.py``.
+
+Spark-first shape: the per-row work is a JVM-side fold over a LITERAL
+centroid array (no join, no shuffle, map-only — the assignment stage is
+embarrassingly parallel at 100 TB); the only shuffle per iteration is the
+k×dim centroid re-average, whose result (k·dim rows, a few KB) is the one
+legitimately driver-held piece of state — exactly how Spark MLlib's own
+KMeans treats centroids. Determinism contract for cross-engine oracles:
+init = the k vectors with smallest id (cid in id order), squared distances
+rounded to 6 decimals before argmin with cid as tie-break, centroid means
+rounded to 6 decimals each update. All arithmetic is sequential
+left-to-right double folds, matching DuckDB's ``list_inner_product``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.vectors import dot
+
+ROUND_DP = 6
+
+
+def _assign_col(centroids: list[tuple[int, list[float]]], vv: Column, v: Column) -> Column:
+    """min-by-(dist², cid) over a literal centroid list, as one expression.
+
+    dist²(v,c) = v·v − 2·v·c + c·c ; v·v arrives precomputed (once per row,
+    not once per centroid), c·c folds driver-side in the same sequential
+    double arithmetic as the oracle's ``list_inner_product(c.v, c.v)``.
+    """
+    entries = []
+    for cid, vec in centroids:
+        c_arr = F.array(*[F.lit(float(x)) for x in vec])
+        cc = 0.0
+        for x in vec:
+            cc += float(x) * float(x)
+        d2 = vv - 2.0 * dot(v, c_arr) + F.lit(cc)
+        entries.append(
+            F.struct(
+                F.round(d2, ROUND_DP).alias("d"), F.lit(int(cid)).alias("cid")
+            )
+        )
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_assign(
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
+) -> DataFrame:
+    """Run ``iterations`` Lloyd steps, return (id, cluster, d2) assignments.
+
+    ``emb`` needs an integer id column and an array<numeric> vector column of
+    uniform length. Empty clusters are dropped (both here and in the SQL
+    oracle — the same rows vanish from the update group-by on both engines).
+    """
+    df = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("vv", dot(F.col("v"), F.col("v")))
+
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(id_col, "v")
+        .collect()  # k rows of driver-held model state, by design
+    )
+    centroids = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+
+    for _ in range(iterations):
+        best = _assign_col(centroids, F.col("vv"), F.col("v"))
+        # NB: materialize the struct via withColumn before extracting fields —
+        # extracting from the raw expression alongside a multi-alias generator
+        # (posexplode) in one select loses the struct field names in analysis.
+        assigned = df.withColumn("best", best).select(
+            F.col("best.cid").alias("cluster"),
+            F.posexplode("v").alias("d", "val"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "d")
+            .agg(F.round(F.avg("val"), ROUND_DP).alias("val"))
+            .collect()  # k·dim rows — the centroid model update
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cluster"], {})[r["d"]] = r["val"]
+        centroids = [
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+
+    best = _assign_col(centroids, F.col("vv"), F.col("v"))
+    return df.withColumn("best", best).select(
+        F.col(id_col),
+        F.col("v"),
+        F.col("best.cid").alias("cluster"),
+        F.col("best.d").alias("d2"),
+    )
+
+
+def kmeans_oracle_cte(k: int, iterations: int, round_dp: int = ROUND_DP) -> str:
+    """The DuckDB CTE chain computing the identical assignment.
+
+    Unrolled per iteration (recursive CTEs cannot re-aggregate per step —
+    same honesty argument as the PageRank oracle). Exposes the final
+    assignment as CTE ``af(vec_id, v, cluster, d2)``.
+    """
+
+    def d2(vexpr: str, cexpr: str) -> str:
+        return (
+            f"round(list_inner_product({vexpr},{vexpr}) - "
+            f"2*list_inner_product({vexpr},{cexpr}) + "
+            f"list_inner_product({cexpr},{cexpr}), {round_dp})"
+        )
+
+    parts = [
+        f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       FROM e ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e.v", "c.v")}, c.cid) AS rn
+    FROM e, c{i - 1} c) t WHERE rn = 1),
+u{i} AS (
+  SELECT cid, d, round(avg(val), {round_dp}) AS val FROM (
+    SELECT cid, unnest(v) AS val, generate_subscripts(v,1) AS d FROM a{i}) t
+  GROUP BY cid, d),
+c{i} AS (SELECT cid, list(val ORDER BY d) AS v FROM u{i} GROUP BY cid)""")
+    parts.append(f""",
+af AS (
+  SELECT vec_id, v, cid AS cluster, dd AS d2 FROM (
+    SELECT e.vec_id, e.v, c.cid, {d2("e.v", "c.v")} AS dd,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e.v", "c.v")}, c.cid) AS rn
+    FROM e, c{iterations} c) t WHERE rn = 1)""")
+    return "".join(parts)

@@ -14,6 +14,7 @@
 from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registration)
     text_q,
     vectors_q,
+    semdedup_q,
     warehouse_q,
     graph_q,
     sql_surface_q,

@@ -531,3 +531,119 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(step2).alias("n_view_click"),
         flag(step3).alias("n_full_funnel"),
     )
+
+
+@register(
+    "events_interpolate_linear",
+    doc="Time-series gap fill by LINEAR interpolation (the companion to "
+    "events_resample_1h_ffill): each user's value series on an hourly "
+    "grid, interpolated between the bracketing observations; edges fall "
+    "back to the single available neighbour. Same union merge-scan shape "
+    "as the forward fill — grid + observations in ONE sorted pass per "
+    "user with last/first(ignorenulls) over mirrored frames; no range "
+    "join, no per-grid-point probe, one shuffle on user_id. The "
+    "interpolation arithmetic (epoch-µs deltas, one divide, one FMA "
+    "chain) is identical IEEE double text in both engines, rounded to "
+    "6 dp on output.",
+    tags=("events", "window", "timeseries"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 50),
+b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+  FROM b),
+allpts AS (
+  SELECT user_id, ts, value, 1 AS is_obs, event_id FROM ev
+  UNION ALL
+  SELECT user_id, ts, NULL, 0 AS is_obs, -1 AS event_id FROM grid),
+f AS (
+  SELECT user_id, ts, is_obs,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM allpts)
+SELECT user_id, ts AS grid_ts,
+       round(CASE
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN nt = pt THEN pv
+         ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                / CAST(nt - pt AS DOUBLE))
+       END, 6) AS value_interp
+FROM f WHERE is_obs = 0
+ORDER BY user_id, grid_ts
+""",
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_query_confs(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    obs = ev.select("user_id", "ts", "value", F.lit(1).alias("is_obs"), "event_id")
+    order = [F.col("ts").asc(), F.desc("is_obs"), F.col("event_id").asc()]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("is_obs") == 1, F.unix_micros("ts"))
+    pv, pt = F.col("pv"), F.col("pt")
+    nv, nt = F.col("nv"), F.col("nt")
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(nt == pt, pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * (
+                (F.unix_micros("ts") - pt).cast("double")
+                / (nt - pt).cast("double")
+            )
+        )
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("pv", F.last("value", ignorenulls=True).over(w_back))
+        .withColumn("pt", F.last(obs_us, ignorenulls=True).over(w_back))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(w_fwd))
+        .withColumn("nt", F.first(obs_us, ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_obs") == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )

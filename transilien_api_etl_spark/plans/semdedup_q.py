@@ -1,0 +1,101 @@
+"""Semantic dedup (SemDeDup) plans — SURVEY.md §3 F10/F8 composed.
+
+Stage 1: fixed-iteration k-means over the embedding column
+(``operators/kmeans.py``). Stage 2: pairwise cosine ONLY within a cluster,
+drop every member that has a closer-than-τ smaller-id neighbour. The
+cluster partitioning is what makes stage 2 scale: pair formation is bounded
+by Σ cluster_size², not n² — the published SemDeDup recipe for trimming
+web-scale pretraining corpora.
+
+Both stages are fully oracle-checked: the k-means oracle unrolls Lloyd
+iterations as CTEs (like the PageRank oracle), and the prune oracle extends
+that chain with the same within-cluster self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.kmeans import kmeans_assign, kmeans_oracle_cte
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+_K = 8
+_ITERS = 2
+_TAU = 0.25  # same near-dup cosine threshold as dedup_embedding_cosine
+
+
+def _kmeans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=_K, iterations=_ITERS)
+
+
+@register(
+    "embeddings_kmeans",
+    doc="Fixed-iteration Lloyd k-means assignments over the embedding "
+    "column (k=8, 2 iterations; SemDeDup stage 1): centroid argmin is a "
+    "map-only JVM fold over literal centroids, the per-iteration model "
+    "update is one k·dim-row aggregate. Oracle unrolls the identical "
+    "iterations as CTEs.",
+    tags=("vectors", "clustering", "iterative", "dedup"),
+    oracle=f"""
+WITH {kmeans_oracle_cte(_K, _ITERS)}
+SELECT vec_id, cluster, d2 FROM af ORDER BY vec_id
+""",
+)
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return _kmeans_df(spark, sf_dir).select("vec_id", "cluster", "d2").orderBy("vec_id")
+
+
+@register(
+    "semdedup_survivors",
+    doc="SemDeDup stage 2 (SURVEY §3 F10 scale path): within each k-means "
+    "cluster, drop members with a cosine≥τ smaller-id neighbour (τ=0.25). "
+    "Pair formation is cluster-bounded — Σ cluster_size², never n² — which "
+    "is the property that survives a 100 TB corpus. Survivor set "
+    "hash-checked against the unrolled-CTE oracle end-to-end.",
+    tags=("vectors", "dedup", "clustering"),
+    oracle=f"""
+WITH {kmeans_oracle_cte(_K, _ITERS)}
+SELECT a.vec_id, a.cluster
+FROM af a
+WHERE NOT EXISTS (
+  SELECT 1 FROM af b
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND round(list_inner_product(a.v, b.v) /
+              (sqrt(list_inner_product(a.v, a.v)) *
+               sqrt(list_inner_product(b.v, b.v))), 6) >= {_TAU}
+)
+ORDER BY a.vec_id
+""",
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    km = _kmeans_df(spark, sf_dir).withColumn("nrm", l2_norm(F.col("v")))
+    a = km.alias("a")
+    b = km.alias("b")
+    cos = F.round(
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ),
+        6,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= F.lit(_TAU))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        km.join(dups, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )

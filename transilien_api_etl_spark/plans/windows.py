@@ -367,3 +367,70 @@ def agg_linreg_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom * 36000000.0
     )
     return m.select("user_id", "n", slope.alias("slope_per_hour")).orderBy("user_id")
+
+
+@register(
+    "agg_moment_stats",
+    doc="Per-event-type mean/stddev/skewness/kurtosis from explicitly-"
+    "accumulated INTEGER moments (same reproducibility argument as "
+    "agg_linreg_user_trend): y = value in cents (exact, value has 2 "
+    "decimals), per-row powers y² y³ y⁴ stay within BIGINT, the four Σ "
+    "accumulate in DECIMAL(38,0) — accumulation-order independent — and "
+    "only the final population-moment formulas run in double. The "
+    "built-in skewness/kurtosis aggregates sum doubles (order-dependent) "
+    "AND disagree in definition across engines (population vs sample "
+    "bias-correction); explicit moments sidestep both.",
+    tags=("agg", "stats"),
+    oracle="""
+WITH y AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(yc * yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s4
+  FROM y GROUP BY event_type)
+SELECT event_type, n,
+       round(s1 / n / 100, 6) AS mean_value,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100, 6) AS stddev_value,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6) AS skew_pop,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_pop
+FROM m ORDER BY event_type
+""",
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    yc = F.round(F.col("value") * 100).cast("long")
+    y = e.select("event_type", yc.alias("yc"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = y.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("yc"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("yc") * F.col("yc"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("yc") * F.col("yc") * F.col("yc"))).cast("double").alias("s3"),
+        F.sum(dec(F.col("yc") * F.col("yc") * F.col("yc") * F.col("yc")))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu  # population variance (of cents)
+    skew = (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / F.pow(F.sqrt(m2), 3)
+    kurt = (
+        s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    ) / F.pow(m2, 2) - 3
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s1 / n / 100, 6).alias("mean_value"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100, 6).alias("stddev_value"),
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(kurt, 6).alias("kurt_pop"),
+    ).orderBy("event_type")
