@@ -558,3 +558,83 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*").orderBy("col")
+
+
+@register(
+    "join_full_outer_daily_volume",
+    doc="FULL OUTER join (completes the §3.3 outer-join family beyond "
+    "J3's left outer): per-day order counts ⋈ per-day event counts — "
+    "days with only orders and days with only events both survive with "
+    "NULL on the absent side, the day key coalesces across sides. Both "
+    "inputs aggregate BEFORE the join (tiny keyed sides), so the full "
+    "outer join shuffles day-cardinality rows, not fact rows.",
+    tags=("join", "outer"),
+    oracle="""
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1),
+e AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT coalesce(o.day, e.day) AS day, o.n_orders, e.n_events
+FROM o FULL OUTER JOIN e ON o.day = e.day
+ORDER BY day
+""",
+)
+def join_full_outer_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.alias("o")
+        .join(e.alias("e"), F.col("o.day") == F.col("e.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.day"), F.col("e.day")).alias("day"),
+            "n_orders",
+            "n_events",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "join_null_safe_buckets",
+    doc="Null-safe equality join (`<=>` / IS NOT DISTINCT FROM — the "
+    "§3.3 completeness case plain equi-joins silently drop): customers "
+    "and suppliers bucketed by nationkey%5 with bucket 3 nulled out on "
+    "both sides; the NULL buckets MATCH each other under null-safe "
+    "equality, so the null×null pair count is part of the checked "
+    "result, not a dropped row.",
+    tags=("join", "null"),
+    oracle="""
+WITH c AS (SELECT nullif(c_nationkey % 5, 3) AS k FROM customer),
+s AS (SELECT nullif(s_nationkey % 5, 3) AS k FROM supplier)
+SELECT c.k AS bucket, count(*) AS n_pairs
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY c.k
+ORDER BY bucket NULLS FIRST
+""",
+)
+def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(3)).alias("k")
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.k").eqNullSafe(F.col("s.k")))
+        .groupBy(F.col("c.k").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )

@@ -609,3 +609,90 @@ def docs_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SEG_WORDS = 10
+
+
+@register(
+    "docs_segment_dedup",
+    doc="Intra-corpus SEGMENT-level dedup with reassembly (the C4/"
+    "RefinedWeb 'drop any line seen before' hygiene step, adapted to this "
+    "delimiter-free corpus as fixed 10-word blocks): documents split into "
+    "consecutive word blocks map-side (transform+slice — no shuffle to "
+    "form segments), one global keep-first pass per distinct block text "
+    "(first = lowest doc_id, then block_no), then each document is "
+    "reassembled from its surviving blocks in order. Two shuffles total "
+    "(block-text window + per-doc regroup), both on bounded keys; at "
+    "100 TB the block-text shuffle is the classic dedup shuffle, nothing "
+    "quadratic anywhere.",
+    tags=("text", "dedup", "pipeline"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+blk AS (
+  SELECT doc_id, i AS block_no,
+         array_to_string(list_slice(words, i * {_SEG_WORDS} + 1,
+                                    i * {_SEG_WORDS} + {_SEG_WORDS}), ' ')
+           AS block_text
+  FROM w, unnest(generate_series(0,
+         CAST(ceil(len(words) / {_SEG_WORDS}.0) AS INTEGER) - 1)) AS t(i)),
+kept AS (
+  SELECT doc_id, block_no, block_text,
+         row_number() OVER (PARTITION BY block_text
+                            ORDER BY doc_id, block_no) AS rn
+  FROM blk)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN block_text END, ' '
+                  ORDER BY block_no) AS text_dedup,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS blocks_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS blocks_dropped
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SEG_WORDS
+    blocks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {k}.0) as int) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {k} + 1, {k}), ' '))"
+    )
+    blk = docs.select(
+        "doc_id", F.posexplode(blocks).alias("block_no", "block_text")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("block_text").orderBy("doc_id", "block_no")
+    )
+    kept = blk.withColumn("rn", rn)
+    surviving = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("rn") == 1,
+                F.struct(F.col("block_no"), F.col("block_text")),
+            )
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            surviving.alias("blocks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("blocks_kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("blocks_dropped"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.size("blocks") == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(
+                    F.transform(F.col("blocks"), lambda s: s["block_text"]), " "
+                )
+            )
+            .alias("text_dedup"),
+            "blocks_kept",
+            "blocks_dropped",
+        )
+        .orderBy("doc_id")
+    )
