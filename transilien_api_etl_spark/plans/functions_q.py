@@ -425,3 +425,37 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fn_explode_outer_terms",
+    doc="Null-preserving explode (F5 edge case explode() silently gets "
+    "wrong): each document's rare long tokens (length ≥ 7) exploded with "
+    "explode_outer, so documents with NO such token survive as a NULL-term "
+    "row instead of vanishing — the outer-unnest semantics every "
+    "per-document fan-out report needs. Oracle emulates via unnest of a "
+    "[NULL]-substituted empty list.",
+    tags=("functions", "arrays", "null"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> len(w) >= 7) AS long_toks
+  FROM documents),
+x AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(long_toks) = 0 THEN [NULL] ELSE long_toks END)
+           AS term
+  FROM t)
+SELECT doc_id, term FROM x ORDER BY doc_id, term NULLS FIRST
+""",
+)
+def fn_explode_outer_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split(F.col("text"), " "), lambda w: F.length(w) >= 7
+    )
+    return (
+        d.select("doc_id", F.explode_outer(long_toks).alias("term"))
+        .orderBy("doc_id", F.col("term").asc_nulls_first())
+    )

@@ -376,3 +376,46 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = encode_synthetic_media(d)
     return decode_media_features(media).orderBy("doc_id")
+
+
+@register(
+    "udf_arrow_grouped_range",
+    doc="X5 applyInArrow grouped-map (PySpark 4's zero-copy sibling of "
+    "X2): per-user value range and event count computed directly on "
+    "pyarrow Tables — no pandas materialization, the lowest-overhead "
+    "Python crossing available. Oracle is the plain group-by twin; the "
+    "point is proving the arrow-native path preserves semantics.",
+    tags=("udf", "arrow"),
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       round(max(value) - min(value), 6) AS value_range
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def udf_arrow_grouped_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ensure_query_confs(spark)
+
+    def user_range(table: pa.Table) -> pa.Table:
+        vals = table.column("value")
+        rng = round(
+            pc.max(vals).as_py() - pc.min(vals).as_py(), 6
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([table.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "value_range": pa.array([rng], pa.float64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        e.groupBy("user_id")
+        .applyInArrow(
+            user_range, "user_id long, n_events long, value_range double"
+        )
+        .orderBy("user_id")
+    )
