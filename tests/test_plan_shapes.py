@@ -92,7 +92,25 @@ FACT_QUERIES = [
     "fn_listagg_ordered",
     "fn_try_arithmetic",
     "streaming_chained_windows",
+    # round-2 continuation additions
+    "docs_segment_dedup",
+    "events_interpolate_linear",
+    "agg_moment_stats",
+    "join_full_outer_daily_volume",
+    "join_null_safe_buckets",
+    "fn_explode_outer_terms",
+    "udf_arrow_grouped_range",
+    "embeddings_kmeans",
+    "semdedup_survivors",
 ]
+
+
+def test_kmeans_assignment_is_join_free(spark):
+    """The k-means argmin rides the scan as a literal-centroid fold: the
+    final assignment plan must contain no Join at all — the only wide node
+    allowed is the presentation sort."""
+    plan = _physical_plan(spark, "embeddings_kmeans")
+    assert "Join" not in plan, f"kmeans assignment must be map-only:\n{plan}"
 
 
 def test_sample_mix_and_chunking_are_map_only(spark):
