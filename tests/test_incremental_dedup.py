@@ -1,0 +1,90 @@
+"""Incremental first-seen-wins corpus dedup: 8 micro-batches must yield
+exactly the one-shot keep-first dedup, batch replays must be no-ops, and a
+duplicate arriving in a LATER batch must lose to the earlier batch's copy
+even though they never meet in the same micro-batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.incremental import (
+    merge_seen_dedup,
+    read_seen_dedup,
+)
+
+SF = "/root/testdata/sf0.01"
+CONTENT = ["user_id", "event_type", "value"]
+
+
+def _keepers(e):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*CONTENT).orderBy("event_id")
+    return {
+        r.event_id
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+        .collect()
+    }
+
+
+def test_incremental_dedup_equals_batch_and_replay_is_noop(spark, tmp_path):
+    e = load_table(spark, SF, "events").select("event_id", *CONTENT)
+    path = str(tmp_path / "corpus")
+
+    # slice by event_id: duplicates of one content usually land in
+    # DIFFERENT batches, exercising the cross-batch anti-join path
+    batches = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(8)) == i).localCheckpoint(
+            eager=True
+        )
+        for i in range(8)
+    ]
+    for i, b in enumerate(batches):
+        merge_seen_dedup(b, i, path, CONTENT, "event_id")
+
+    got = {r.event_id for r in read_seen_dedup(spark, path).collect()}
+    # NB: slicing by event_id%8 means batch order follows event_id order
+    # within each content group only if the first occurrence's slice runs
+    # first — which it does NOT in general, so recompute the expected set
+    # under the actual arrival order: first batch index, then event_id.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*CONTENT).orderBy(
+        F.pmod(F.col("event_id"), F.lit(8)), "event_id"
+    )
+    expected = {
+        r.event_id
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+        .collect()
+    }
+    assert got == expected
+    # distinct content count must match the one-shot dedup regardless of
+    # which copy survived
+    assert len(got) == e.select(*CONTENT).distinct().count()
+
+    # crash-replay of the last and an early batch: both no-ops
+    before = got
+    merge_seen_dedup(batches[7], 7, path, CONTENT, "event_id")
+    merge_seen_dedup(batches[3], 3, path, CONTENT, "event_id")
+    assert {r.event_id for r in read_seen_dedup(spark, path).collect()} == before
+
+
+def test_cross_batch_duplicate_loses_to_earlier_copy(spark, tmp_path):
+    path = str(tmp_path / "corpus2")
+    b0 = spark.createDataFrame(
+        [(1, 10, "view", 1.0), (2, 10, "click", 2.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [(3, 10, "view", 1.0), (4, 11, "view", 1.0)],  # 3 duplicates 1
+        "event_id long, user_id long, event_type string, value double",
+    )
+    merge_seen_dedup(b0, 0, path, CONTENT, "event_id")
+    merge_seen_dedup(b1, 1, path, CONTENT, "event_id")
+    got = {r.event_id for r in read_seen_dedup(spark, path).collect()}
+    assert got == {1, 2, 4}

@@ -73,3 +73,57 @@ def merge_additive_agg(
 
 def read_additive_agg(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_last_batch")
+
+
+def merge_seen_dedup(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    content_cols: list[str],
+    order_col: str,
+) -> None:
+    """Fold one micro-batch into a FIRST-SEEN-WINS deduplicated corpus.
+
+    The streaming form of exact corpus dedup (a continuously-ingesting
+    training-data pipeline's front door): a row whose content digest was
+    appended by ANY earlier batch is dropped; within a batch the survivor
+    is the smallest ``order_col``. Exactly-once under foreachBatch crash
+    replays: rows land partitioned by ``_batch``, so the replay check is a
+    partition-directory listing (no data read), and a batch id ≤ the
+    stored maximum is a no-op. Scale posture: the anti-join probes the
+    stored side on its digest column only (column-pruned scan); at 100 TB
+    the digest store would additionally bucket by digest prefix so the
+    probe prunes files — the batch side is always micro-batch-sized.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    w = Window.partitionBy("_digest").orderBy(order_col)
+    fresh = (
+        batch_df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        stored = spark.read.parquet(path)
+        applied = stored.agg(F.max("_batch")).first()[0]
+        if applied is not None and batch_id >= 0 and batch_id <= applied:
+            return  # replayed batch: its rows are already in the corpus
+        fresh = fresh.join(
+            stored.select("_digest"), "_digest", "left_anti"
+        )
+    except AnalysisException:
+        pass  # first batch: everything is first-seen
+    (
+        fresh.withColumn("_batch", F.lit(batch_id).cast("long"))
+        .write.mode("append")
+        .partitionBy("_batch")
+        .parquet(path)
+    )
+
+
+def read_seen_dedup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_digest", "_batch")

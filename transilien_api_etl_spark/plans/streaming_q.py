@@ -459,3 +459,43 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
     return run_stream_to_memory(out, "append", "chained").orderBy("hour_start")
+
+
+@register(
+    "streaming_incremental_dedup",
+    doc="First-seen-wins corpus dedup as a streaming sink (S5+T6, the "
+    "front door of a continuously-ingesting training-data pipeline): "
+    "foreachBatch appends only rows whose content digest no earlier "
+    "batch has seen (operators/incremental.merge_seen_dedup — "
+    "partition-ledger replay protection, digest-only anti-join probe). "
+    "The final stored corpus must equal the one-shot keep-first batch "
+    "dedup, which is the oracle.",
+    tags=("streaming", "sink", "dedup"),
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type, value
+                            ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY event_id
+""",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from transilien_api_etl_spark.operators.incremental import (
+        merge_seen_dedup,
+        read_seen_dedup,
+    )
+
+    s = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    corpus_dir = tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_")
+    run_stream_foreach_batch(
+        s,
+        lambda df, bid: merge_seen_dedup(
+            df, bid, corpus_dir, ["user_id", "event_type", "value"], "event_id"
+        ),
+        "incdedup",
+    )
+    return read_seen_dedup(spark, corpus_dir).orderBy("event_id")
