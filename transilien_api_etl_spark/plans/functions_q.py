@@ -459,3 +459,47 @@ def fn_explode_outer_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode_outer(long_toks).alias("term"))
         .orderBy("doc_id", F.col("term").asc_nulls_first())
     )
+
+
+@register(
+    "fn_tz_paris_offsets",
+    doc="Timezone conversion with REAL DST rules (F1 — the reference's "
+    "Paris-local clock handling, done right instead of with a fixed "
+    "offset): every order timestamp converted UTC→Europe/Paris, grouped "
+    "by the realized UTC offset. Six years of orders cross ~12 DST "
+    "transitions (including the pre-1996 EU September rollback), so both "
+    "engines must agree on the IANA tzdata, not just on +1. The oracle's "
+    "AT TIME ZONE chain is session-timezone-independent, as is Spark's "
+    "from_utc_timestamp under the pinned-UTC session.",
+    tags=("functions", "datetime", "timezone"),
+    oracle="""
+WITH x AS (
+  SELECT o_orderdate,
+         (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Paris' AS paris
+  FROM orders)
+SELECT CAST((epoch_us(paris) - epoch_us(o_orderdate)) / 3600000000.0 AS INTEGER)
+         AS offset_hours,
+       count(*) AS n_orders,
+       min(o_orderdate) AS first_utc,
+       max(o_orderdate) AS last_utc
+FROM x GROUP BY 1 ORDER BY offset_hours
+""",
+)
+def fn_tz_paris_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    paris = F.from_utc_timestamp(F.col("o_orderdate"), "Europe/Paris")
+    off = (
+        (F.unix_micros(paris) - F.unix_micros(F.col("o_orderdate")))
+        / 3_600_000_000.0
+    ).cast("int")
+    return (
+        o.select(off.alias("offset_hours"), "o_orderdate")
+        .groupBy("offset_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_utc"),
+            F.max("o_orderdate").alias("last_utc"),
+        )
+        .orderBy("offset_hours")
+    )

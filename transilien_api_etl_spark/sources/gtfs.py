@@ -82,6 +82,15 @@ GTFS_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("exception_type", T.IntegerType()),  # 1=added 2=removed
         ]
     ),
+    "frequencies": T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("start_time", T.StringType()),  # GTFS clock, may be >24h
+            T.StructField("end_time", T.StringType()),
+            T.StructField("headway_secs", T.IntegerType()),
+            T.StructField("exact_times", T.IntegerType()),
+        ]
+    ),
 }
 
 # GTFS weekday flag column per Python weekday() index (Mon=0).
@@ -106,7 +115,18 @@ def load_gtfs_table(spark: SparkSession, gtfs_dir: str, name: str) -> DataFrame:
 
 
 def load_gtfs(spark: SparkSession, gtfs_dir: str) -> dict[str, DataFrame]:
-    return {name: load_gtfs_table(spark, gtfs_dir, name) for name in GTFS_SCHEMAS}
+    """Whole feed from a directory; optional members (frequencies,
+    calendar_dates) missing on disk load as empty frames so the downstream
+    plan shape never changes."""
+    import os
+
+    feeds: dict[str, DataFrame] = {}
+    for name, schema in GTFS_SCHEMAS.items():
+        if os.path.exists(f"{gtfs_dir}/{name}.txt"):
+            feeds[name] = load_gtfs_table(spark, gtfs_dir, name)
+        else:
+            feeds[name] = spark.createDataFrame([], schema)
+    return feeds
 
 
 def load_gtfs_zip(spark: SparkSession, zip_path: str) -> dict[str, DataFrame]:
@@ -197,3 +217,71 @@ def scheduled_departures(
             "trip_headsign",
         )
     )
+
+
+def _gtfs_clock_str(secs: Column) -> Column:
+    """Seconds past service midnight → GTFS 'HH:MM:SS' string; hours may
+    exceed 23 ('25:10:00'), exactly as stop_times encodes after-midnight
+    stops — round-trips through gtfs_clock_seconds."""
+    h = F.floor(secs / 3600).cast("long")
+    m = F.floor((secs % 3600) / 60).cast("long")
+    sec = (secs % 60).cast("long")
+    pad = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    return F.concat_ws(":", pad(h), pad(m), pad(sec))
+
+
+def expand_frequencies(
+    stop_times: DataFrame, frequencies: DataFrame
+) -> DataFrame:
+    """Expand frequencies.txt headway templates into concrete stop_times.
+
+    GTFS semantics: a trip listed in frequencies repeats with its FIRST
+    stop departing at start_time, start_time+headway, … strictly before
+    end_time; each repetition shifts every stop of the template by the
+    same delta. Repetition r of trip T gets trip_id 'T#r' (r from 0) so
+    downstream joins stay keyed on a unique trip instance; trips not in
+    frequencies pass through untouched.
+
+    Scale posture: template offsets come from one window-min per trip over
+    stop_times (tiny — schedule-sized, not fact-sized); the repetition
+    fan-out is sequence+explode, map-side after a broadcast join of the
+    frequencies table. exact_times=0 (approximate headway) expands to the
+    same deterministic grid — the declared schedule is the grid; realtime
+    deviations arrive on the observed stream.
+    """
+    from pyspark.sql import Window
+
+    from transilien_api_etl_spark.functions.datetime_fns import gtfs_clock_seconds
+
+    f = frequencies.select(
+        "trip_id",
+        gtfs_clock_seconds(F.col("start_time")).alias("start_s"),
+        gtfs_clock_seconds(F.col("end_time")).alias("end_s"),
+        F.col("headway_secs").cast("long").alias("headway_s"),
+    )
+    base = Window.partitionBy("trip_id")
+    tmpl = (
+        stop_times.join(F.broadcast(f), "trip_id")
+        .withColumn("dep_s", gtfs_clock_seconds(F.col("departure_time")))
+        .withColumn("arr_s", gtfs_clock_seconds(F.col("arrival_time")))
+        .withColumn("trip_start_s", F.min("dep_s").over(base))
+    )
+    n_reps = F.greatest(
+        F.ceil((F.col("end_s") - F.col("start_s")) / F.col("headway_s")),
+        F.lit(1),
+    ).cast("long")
+    rep = tmpl.select(
+        "*", F.posexplode(F.sequence(F.lit(0), n_reps - 1)).alias("rep", "_i")
+    ).drop("_i")
+    shift = F.col("start_s") + F.col("rep") * F.col("headway_s") - F.col("trip_start_s")
+    expanded = rep.select(
+        F.concat_ws("#", "trip_id", F.col("rep").cast("string")).alias("trip_id"),
+        _gtfs_clock_str(F.col("arr_s") + shift).alias("arrival_time"),
+        _gtfs_clock_str(F.col("dep_s") + shift).alias("departure_time"),
+        "stop_id",
+        "stop_sequence",
+    )
+    plain = stop_times.join(
+        F.broadcast(f.select("trip_id")), "trip_id", "left_anti"
+    ).select("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+    return plain.unionByName(expanded)
