@@ -137,3 +137,44 @@ def transilien_delay_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay_s",
         "status",
     ).orderBy("station7", "train_num", "stop_sequence")
+
+
+@register(
+    "transilien_next_departures",
+    doc="The reference's main user-facing query (DBQuerier 'next N "
+    "departures of a station, realtime-enriched'): the delay board "
+    "filtered to effective departure (realtime if observed, else "
+    "scheduled) at/after the asked instant, cancelled trains excluded, "
+    "top-2 per station by effective time (W1 over the domain pipeline). "
+    "Hand-derived VALUES oracle, like the board itself.",
+    tags=("domain", "topk", "window"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('8727100', CAST(1 AS BIGINT), CAST(123403 AS BIGINT),
+   TIMESTAMP '2026-01-02 09:01:00', 'on_time'),
+  ('8727100', CAST(2 AS BIGINT), CAST(123403 AS BIGINT),
+   TIMESTAMP '2026-01-02 21:01:00', 'unobserved')
+) AS t(station7, rn, train_num, effective_ts, status)
+ORDER BY station7, rn
+""",
+)
+def transilien_next_departures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    sched = scheduled_departures(_gtfs(spark), _DAY).withColumnRenamed(
+        "stop_id", "station7"
+    )
+    observed = normalize_passages(parse_passages_native(_passages_xml(spark)))
+    board = delay_board(sched, observed)
+    asked = F.lit("2026-01-02 08:30:00").cast("timestamp")
+    eff = F.coalesce(F.col("expected_ts"), F.col("scheduled_ts"))
+    w = Window.partitionBy("station7").orderBy(eff.asc(), F.col("train_num").asc())
+    return (
+        board.filter((F.col("status") != "cancelled") & (eff >= asked))
+        .withColumn("effective_ts", eff)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("station7", "rn", "train_num", "effective_ts", "status")
+        .orderBy("station7", "rn")
+    )
