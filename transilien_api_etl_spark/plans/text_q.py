@@ -627,6 +627,7 @@ _SEG_WORDS = 10
     "100 TB the block-text shuffle is the classic dedup shuffle, nothing "
     "quadratic anywhere.",
     tags=("text", "dedup", "pipeline"),
+    bench=True,
     oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents),
