@@ -638,3 +638,74 @@ def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("bucket").asc_nulls_first())
     )
+
+
+@register(
+    "agg_percentile_disc",
+    doc="DISCRETE percentiles per group (completes A3 beyond the "
+    "interpolated quantile_cont twin): the p-quantile is the first actual "
+    "data value whose cumulative share reaches p — sort_array(collect_list) "
+    "indexed at ceil(p·n). Returns members of the dataset, never "
+    "interpolated synthetics, which is what a latency-SLO report wants.",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+       quantile_disc(o_totalprice, 0.9) AS p90_disc,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+
+    def disc(p: float):
+        arr = F.sort_array(F.collect_list("o_totalprice"))
+        idx = F.ceil(F.size(arr) * F.lit(p)).cast("int")
+        return F.element_at(arr, F.greatest(idx, F.lit(1)))
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            disc(0.5).alias("p50_disc"),
+            disc(0.9).alias("p90_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fn_map_higher_order",
+    doc="Map higher-order surface (F6 depth): per-user event-type counts "
+    "built as a MAP (map_from_entries), doubled via transform_values, "
+    "error entries dropped via map_filter, exploded back to rows for the "
+    "oracle — the map round-trip is internal, the checked result is the "
+    "equivalent filtered group-by.",
+    tags=("functions", "map"),
+    oracle="""
+SELECT user_id, event_type, count(*) * 2 AS doubled
+FROM events
+WHERE user_id < 40 AND event_type <> 'error'
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda _, v: v * 2)
+    cleaned = F.map_filter(doubled, lambda k, _: k != F.lit("error"))
+    return (
+        as_map.select("user_id", F.explode(cleaned).alias("event_type", "doubled"))
+        .orderBy("user_id", "event_type")
+    )
