@@ -503,3 +503,45 @@ def fn_tz_paris_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("offset_hours")
     )
+
+
+@register(
+    "fn_array_setops",
+    doc="Array set algebra (F5 depth): each user's distinct event types on "
+    "even vs odd event ids, combined with array_union / array_intersect / "
+    "array_except — the oracle recomputes the three cardinalities "
+    "relationally, so the array semantics (dedup, null-free membership) "
+    "are value-checked, not just type-checked.",
+    tags=("functions", "arrays", "setops"),
+    oracle="""
+WITH t AS (
+  SELECT DISTINCT user_id, event_type, event_id % 2 = 0 AS even
+  FROM events WHERE user_id < 40),
+pairs AS (
+  SELECT user_id, event_type,
+         bool_or(even) AS on_even, bool_or(NOT even) AS on_odd
+  FROM t GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_union,
+       CAST(count(*) FILTER (on_even AND on_odd) AS INTEGER) AS n_both,
+       CAST(count(*) FILTER (on_even AND NOT on_odd) AS INTEGER) AS n_even_only
+FROM pairs GROUP BY user_id ORDER BY user_id
+""",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    halves = e.groupBy("user_id").agg(
+        F.array_distinct(
+            F.collect_list(F.when(F.col("event_id") % 2 == 0, F.col("event_type")))
+        ).alias("ev"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("event_id") % 2 != 0, F.col("event_type")))
+        ).alias("od"),
+    )
+    return halves.select(
+        "user_id",
+        F.size(F.array_union("ev", "od")).alias("n_union"),
+        F.size(F.array_intersect("ev", "od")).alias("n_both"),
+        F.size(F.array_except("ev", "od")).alias("n_even_only"),
+    ).orderBy("user_id")
