@@ -63,6 +63,14 @@ def kmeans_assign(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("vv", dot(F.col("v"), F.col("v")))
+    # Cache the normalized vectors across Lloyd iterations (the MLlib
+    # pattern): every iteration re-reads df; without this each one re-scans
+    # parquet and re-folds v·v. MEMORY_AND_DISK so a 100 TB input degrades
+    # to spill, never OOM. Released before returning — the final returned
+    # plan recomputes from the scan, callers cache if they iterate further.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     init = (
         df.orderBy(id_col)
@@ -94,6 +102,7 @@ def kmeans_assign(
             for cid, dims in sorted(by_cid.items())
         ]
 
+    df.unpersist()
     best = _assign_col(centroids, F.col("vv"), F.col("v"))
     return df.withColumn("best", best).select(
         F.col(id_col),
