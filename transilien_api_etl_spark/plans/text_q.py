@@ -697,3 +697,70 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_VOCAB_K = 1000
+
+
+@register(
+    "docs_tokenize_ids",
+    doc="Tokenization to vocabulary ids (the step between F9's token "
+    "counting and pretrain_pack_sequences): vocabulary = top-1000 corpus "
+    "words with dense ids assigned by (count DESC, word) — deterministic "
+    "across engines — broadcast-joined onto the exploded token stream; "
+    "out-of-vocabulary tokens map to id 0. Emitted as (doc_id, pos, "
+    "token_id) rows so the oracle hash covers every position. At 100 TB "
+    "the vocab is KBs (broadcast), the token stream is map-side after it.",
+    tags=("text", "tokenize", "pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(words, 1) - 1 AS pos,
+         unnest(words) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 100) d),
+freq AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS INTEGER) AS token_id
+  FROM freq ORDER BY c DESC, w LIMIT {_VOCAB_K})
+SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
+       coalesce(v.token_id, 0) AS token_id
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+ORDER BY doc_id, pos
+""",
+)
+def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    freq = (
+        words.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        freq.withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.col("w")))
+            .cast("int"),
+        )
+        .filter(F.col("token_id") <= _VOCAB_K)
+        .select("w", "token_id")
+    )
+    toks = words.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.posexplode("words").alias("pos", "w")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.coalesce("token_id", F.lit(0)).alias("token_id"),
+        )
+        .orderBy("doc_id", "pos")
+    )
