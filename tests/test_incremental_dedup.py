@@ -88,3 +88,69 @@ def test_cross_batch_duplicate_loses_to_earlier_copy(spark, tmp_path):
     merge_seen_dedup(b1, 1, path, CONTENT, "event_id")
     got = {r.event_id for r in read_seen_dedup(spark, path).collect()}
     assert got == {1, 2, 4}
+
+
+def test_dedup_sink_survives_checkpoint_restart(spark, tmp_path):
+    """The streaming contract end-to-end: restart from checkpoint reads only
+    NEW files, and first-seen-wins holds across the restart boundary (a
+    duplicate arriving after the restart still loses to the pre-restart
+    copy)."""
+    from transilien_api_etl_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", *CONTENT
+    )
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    # half_b: fresh ids, but HALF its content duplicates half_a's content
+    dup_content = half_a.limit(100).select(*CONTENT)
+    half_b = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .limit(100)
+        .select(*CONTENT)
+        .unionByName(dup_content)
+        .withColumn("event_id", F.monotonically_increasing_id() + 10_000_000)
+        .select("event_id", *CONTENT)
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "corpus")
+    schema = e.schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_seen_dedup(df, bid, out, CONTENT, "event_id")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    half_a.repartition(2).write.mode("append").parquet(src)
+    start().awaitTermination()
+    n1 = read_seen_dedup(spark, out).count()
+    assert n1 == half_a.select(*CONTENT).distinct().count()
+
+    half_b.repartition(2).write.mode("append").parquet(src)
+    start().awaitTermination()
+
+    final = read_seen_dedup(spark, out)
+    # the corpus holds exactly the distinct content of everything streamed
+    expected = (
+        half_a.select(*CONTENT)
+        .unionByName(half_b.select(*CONTENT))
+        .distinct()
+        .count()
+    )
+    assert final.count() == expected
+    # the duplicated content kept its ORIGINAL (pre-restart) event ids
+    kept_ids = {r.event_id for r in final.join(
+        dup_content, CONTENT, "left_semi"
+    ).collect()}
+    assert kept_ids and all(i < 10_000_000 for i in kept_ids)
