@@ -499,3 +499,66 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incdedup",
     )
     return read_seen_dedup(spark, corpus_dir).orderBy("event_id")
+
+
+@register(
+    "streaming_pit_rate_join",
+    doc="Streaming point-in-time enrichment (T8 × the feature-store "
+    "as-of): each streamed event picks the VERSION of a slowly-changing "
+    "rate table in force at its own event time (banded join on a "
+    "broadcast static side — the non-equi condition is free because the "
+    "history is dimension-sized), then aggregates enriched value per "
+    "type. No future leakage: an event before a version's valid_from "
+    "cannot see it. Oracle is the identical banded join in SQL.",
+    tags=("streaming", "join", "asof", "scd"),
+    oracle="""
+WITH rates(event_type, valid_from, valid_to, mult) AS (VALUES
+  ('click',    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-15 00:00:00', 1.0),
+  ('click',    TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '9999-12-31 00:00:00', 1.5),
+  ('purchase', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 2.0),
+  ('purchase', TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00', 2.5),
+  ('view',     TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00', 0.5))
+SELECT e.event_type, r.mult,
+       count(*) AS n,
+       round(sum(e.value * r.mult), 2) AS weighted
+FROM events e
+JOIN rates r
+  ON e.event_type = r.event_type
+ AND e.ts >= r.valid_from AND e.ts < r.valid_to
+GROUP BY e.event_type, r.mult
+ORDER BY e.event_type, mult
+""",
+)
+def streaming_pit_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    rates = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 00:00:00", "2024-01-15 00:00:00", 1.0),
+            ("click", "2024-01-15 00:00:00", "9999-12-31 00:00:00", 1.5),
+            ("purchase", "2024-01-01 00:00:00", "2024-02-01 00:00:00", 2.0),
+            ("purchase", "2024-02-01 00:00:00", "9999-12-31 00:00:00", 2.5),
+            ("view", "2024-01-01 00:00:00", "9999-12-31 00:00:00", 0.5),
+        ],
+        "event_type string, valid_from string, valid_to string, mult double",
+    ).select(
+        "event_type",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "mult",
+    )
+    s = read_events_stream(spark, sf_dir)
+    enriched = s.alias("e").join(
+        F.broadcast(rates).alias("r"),
+        (F.col("e.event_type") == F.col("r.event_type"))
+        & (F.col("e.ts") >= F.col("r.valid_from"))
+        & (F.col("e.ts") < F.col("r.valid_to")),
+    )
+    agg = (
+        enriched.groupBy(F.col("e.event_type").alias("event_type"), "mult")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("e.value") * F.col("mult")), 2).alias("weighted"),
+        )
+    )
+    out = run_stream_to_memory(agg, "complete", "pitrate")
+    return out.orderBy("event_type", "mult")
