@@ -709,3 +709,79 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_map.select("user_id", F.explode(cleaned).alias("event_type", "doubled"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "agg_salted_twin",
+    doc="Two-phase SALTED aggregation as a driver-checked query (§5 skew "
+    "defence, beyond the tests): per-event-type count and exact decimal "
+    "sum computed via partial agg on (key, salt-of-16) then final agg on "
+    "key — the decomposition a giant hot group needs when even AQE's "
+    "partition split can't fit it. Sum rides DECIMAL so the two-phase "
+    "re-accumulation is order-independent; oracle is the plain one-phase "
+    "group-by.",
+    tags=("agg", "skew"),
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_salted_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transilien_api_etl_spark.operators.skew import salted_agg
+
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        id_cols=["event_id"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total": (
+                F.sum(F.col("value").cast("decimal(20,2)")),
+                F.sum("total"),
+            ),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total")
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_boolean_family",
+    doc="Boolean aggregate family (A-surface completeness): count_if, "
+    "bool_and / bool_or, and max_by / min_by (argmax with event_id "
+    "tie-break baked into the struct ordering) per event type.",
+    tags=("agg", "boolean"),
+    oracle="""
+SELECT event_type,
+       count(*) FILTER (value > 100) AS n_over_100,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 400) AS any_over_400,
+       min(CASE WHEN value = m.mx THEN event_id END) AS argmax_event
+FROM events e
+JOIN (SELECT event_type AS et, max(value) AS mx FROM events GROUP BY 1) m
+  ON e.event_type = m.et
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    mx = e.groupBy(F.col("event_type").alias("et")).agg(F.max("value").alias("mx"))
+    return (
+        e.join(F.broadcast(mx), e.event_type == mx.et)
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_over_100"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 400).alias("any_over_400"),
+            F.min(
+                F.when(F.col("value") == F.col("mx"), F.col("event_id"))
+            ).alias("argmax_event"),
+        )
+        .orderBy("event_type")
+    )
