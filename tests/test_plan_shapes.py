@@ -102,6 +102,16 @@ FACT_QUERIES = [
     "udf_arrow_grouped_range",
     "embeddings_kmeans",
     "semdedup_survivors",
+    "docs_tokenize_ids",
+    "agg_moment_stats",
+    "agg_percentile_disc",
+    "fn_map_higher_order",
+    "fn_array_setops",
+    "fn_tz_paris_offsets",
+    "agg_salted_twin",
+    "agg_boolean_family",
+    "streaming_incremental_dedup",
+    "transilien_next_departures",
 ]
 
 
