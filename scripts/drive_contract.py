@@ -29,6 +29,11 @@ def vhash(pdf):
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:12]
 
 qs, os_ = ent.queries(), ent.oracle_sql()
+only = set(sys.argv[1:])  # optional: pass query names to check a subset
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
+    qs = {k: v for k, v in qs.items() if k in only}
 ok = bad = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()

@@ -1,0 +1,113 @@
+"""Semantic checks for the product-analytics composites (plans/analytics_q.py)
+beyond registry hash-parity: conservation laws and pandas/numpy cross-checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cohort_retention_anchors_at_100(spark):
+    out = REGISTRY["events_cohort_retention"].fn(spark, SF).toPandas()
+    anchor = out[out["week_offset"] == 0]
+    # every cohort has an offset-0 row at exactly 100%
+    assert set(anchor["cohort_week"]) == set(out["cohort_week"])
+    assert (anchor["retention_pct"] == 100.0).all()
+    # offset-0 cohort sizes partition the distinct-user universe
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert int(anchor["n_users"].sum()) == n_users
+    # retention never exceeds the cohort anchor
+    assert (out["retention_pct"] <= 100.0).all()
+
+
+def test_twap_matches_pandas_on_one_user_day(spark):
+    out = REGISTRY["events_twap"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value", "event_id").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    # pick the busiest user-day and recompute the step-function average
+    busiest = ev.groupby(["user_id", "day"]).size().idxmax()
+    g = ev[(ev["user_id"] == busiest[0]) & (ev["day"] == busiest[1])].sort_values(
+        ["ts", "event_id"]
+    )
+    dt = (g["ts"].shift(-1) - g["ts"]).dt.total_seconds().iloc[:-1]
+    expect = float((g["value"].iloc[:-1] * dt.values).sum() / dt.sum())
+    got = out[(out["user_id"] == busiest[0]) & (out["day"] == busiest[1])]
+    assert len(got) == 1
+    assert abs(float(got["twap"].iloc[0]) - expect) < 1e-4
+    assert int(got["n_events"].iloc[0]) == len(g) - 1
+
+
+def test_attribution_conserves_matched_purchase_value(spark):
+    out = REGISTRY["attribution_linear_touch"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).toPandas()
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] == "click"]
+    matched_value = 0.0
+    n_matched = 0
+    for _, row in p.iterrows():
+        lo = row["ts"] - pd.Timedelta(minutes=30)
+        hit = c[(c["user_id"] == row["user_id"]) & (c["ts"] <= row["ts"]) & (c["ts"] > lo)]
+        if len(hit):
+            matched_value += row["value"]
+            n_matched += 1
+    # linear credit conserves each matched purchase's full value
+    assert abs(float(out["attributed_value"].sum()) - matched_value) < 0.05
+    assert int(out["n_purchases"].sum()) == n_matched
+
+
+def test_welch_ttest_matches_numpy(spark):
+    row = REGISTRY["agg_ab_welch_ttest"].fn(spark, SF).toPandas().iloc[0]
+    ev = load_table(spark, SF, "events").select("event_type", "value").toPandas()
+    a = ev[ev["event_type"] == "click"]["value"].to_numpy()
+    b = ev[ev["event_type"] == "purchase"]["value"].to_numpy()
+    se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se)
+    df = se**2 / (
+        (a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+        + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert int(row["n_a"]) == len(a) and int(row["n_b"]) == len(b)
+    assert abs(float(row["t_stat"]) - t) < 1e-4
+    assert abs(float(row["welch_df"]) - df) < 1e-2
+
+
+def test_rolling_median_matches_pandas(spark):
+    out = (
+        REGISTRY["window_rolling_median"].fn(spark, SF).toPandas().sort_values(
+            ["user_id", "event_id"]
+        )
+    )
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "value").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    expect = (
+        ev.groupby("user_id")["value"]
+        .rolling(5, min_periods=1)
+        .median()
+        .reset_index(level=0)
+        .sort_index()
+    )
+    ev["med"] = expect["value"]
+    m = out.merge(ev[["user_id", "event_id", "med"]], on=["user_id", "event_id"])
+    assert len(m) == len(out)
+    assert np.allclose(m["rolling_median_5"], m["med"], atol=1e-6)
+
+
+def test_equidepth_tiles_balance_and_order(spark):
+    out = REGISTRY["agg_equidepth_histogram"].fn(spark, SF).toPandas()
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("tile")
+        assert list(g["tile"]) == [1, 2, 3, 4]
+        # equi-depth: tile sizes differ by at most 1
+        assert g["n"].max() - g["n"].min() <= 1
+        # value ranges are ordered (ties may touch, never invert)
+        assert (g["lo"] <= g["hi"]).all()
+        assert (g["hi"].values[:-1] <= g["lo"].values[1:]).all()

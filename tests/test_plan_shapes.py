@@ -112,6 +112,13 @@ FACT_QUERIES = [
     "agg_boolean_family",
     "streaming_incremental_dedup",
     "transilien_next_departures",
+    # analytics composites
+    "events_cohort_retention",
+    "events_twap",
+    "attribution_linear_touch",
+    "agg_ab_welch_ttest",
+    "window_rolling_median",
+    "agg_equidepth_histogram",
 ]
 
 

@@ -1,0 +1,43 @@
+"""SQ8 quantization invariants beyond registry parity: code range, bounded
+reconstruction error, and quantized-search recall against exact kNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.quantize import sq8_encode, sq8_stats
+from transilien_api_etl_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_codes_span_full_byte_range(spark):
+    emb = load_table(spark, SF, "embeddings")
+    enc = sq8_encode(emb, sq8_stats(emb))
+    rng = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    # min/max of each dimension map to code 0 and 255 by construction
+    assert rng["lo"] == 0 and rng["hi"] == 255
+
+
+def test_reconstruction_error_is_bounded_by_step(spark):
+    out = REGISTRY["embeddings_quantize_int8"].fn(spark, SF).toPandas()
+    emb = load_table(spark, SF, "embeddings")
+    stats = sq8_stats(emb).first()
+    # worst-case per-dim error is half a quantization step; MSE must be
+    # below the mean squared half-step across dimensions
+    bound = sum(((mx - mn) / 255 / 2) ** 2 for mn, mx in zip(stats["mins"], stats["maxs"]))
+    bound /= len(stats["mins"])
+    assert (out["mse"] <= bound + 1e-12).all()
+    assert (out["mse"] >= 0).all()
+
+
+def test_quantized_knn_recall_vs_exact(spark):
+    exact = {r["vec_id"] for r in REGISTRY["knn_cosine_top10"].fn(spark, SF).collect()}
+    q8 = {r["vec_id"] for r in REGISTRY["knn_sq8_top10"].fn(spark, SF).collect()}
+    # SQ8 distorts only the corpus side; top-10 overlap should stay high
+    assert len(exact & q8) >= 8, (sorted(exact), sorted(q8))

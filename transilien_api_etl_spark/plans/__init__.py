@@ -21,6 +21,8 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     sketches_q,
     udfs_q,
     windows,
+    analytics_q,
+    quantize_q,
     pipeline_q,
     tpch_more,
     domain_q,

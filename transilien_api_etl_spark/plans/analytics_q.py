@@ -1,0 +1,326 @@
+"""Product-analytics composites over the events stream — SURVEY.md §3 A/W/J
+applications (cohort retention, time-weighted averages, multi-touch
+attribution, A/B moment tests, order-statistics windows).
+
+These are the analyses the reference's downstream dashboards run on the
+matched realtime feed (delay cohorts per service week, time-weighted delay
+exposure, per-line A/B before/after comparisons), re-keyed onto the synthetic
+``events`` table. Each is a pure-DataFrame plan: one or two shuffles, no
+Python crossing, every computed column aliased identically to its oracle.
+
+Reproducibility follows the house rules (registry docstring + FIXTURES.md):
+money-like doubles accumulate as exact cent-integers in DECIMAL(38,0)
+wherever a sum feeds a division; raw doubles are only ever order-compared
+(min/max/median) or summed behind a coarse round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+
+@register(
+    "events_cohort_retention",
+    doc="Weekly cohort-retention triangle (SURVEY §3 A1/W4 composite): "
+    "cohort = Monday-truncated week of the user's first event, offset = "
+    "whole weeks since, retained = distinct active users; retention_pct "
+    "normalizes by the cohort's own offset-0 size via a window over the "
+    "finished aggregate (touches cohort_count rows, not events). Scale "
+    "posture: one shuffle on user_id (window min reuses the exchange of "
+    "nothing — cohort assignment rides a Window, not a self-join), one "
+    "shuffle for the (cohort, offset) rollup; the normalizing window runs "
+    "on ~weeks² rows.",
+    tags=("events", "analytics", "window-agg"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts,
+         date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort_week
+  FROM events),
+a AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS BIGINT)
+           AS week_offset,
+         count(DISTINCT user_id) AS n_users
+  FROM c GROUP BY 1, 2)
+SELECT cohort_week, week_offset, n_users,
+       round(n_users * 100.0 /
+             max(CASE WHEN week_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_week), 4) AS retention_pct
+FROM a
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.min("ts").over(Window.partitionBy("user_id")))
+    c = e.select("user_id", "ts", wk.alias("cohort_week"))
+    a = (
+        c.groupBy(
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("cohort_week")
+    )
+    return a.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") * 100.0 / base, 4).alias("retention_pct"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+@register(
+    "events_twap",
+    doc="Time-weighted average value per user-day over the irregularly "
+    "sampled stream (SURVEY §3 W2/A1 composite — the reference weights "
+    "delay exposure by how long each prediction was the live one): each "
+    "event's value holds until the user's next event that day; "
+    "twap = Σ(value·Δt)/ΣΔt. Exact-arithmetic parity: value → cents "
+    "BIGINT, Δt → µs BIGINT (product ≤ 4.3e15 < 2⁶³), Σ in "
+    "DECIMAL(38,0); only the final division runs in double. Single "
+    "shuffle on user_id; the day split re-uses the same sort.",
+    tags=("events", "analytics", "window-lag"),
+    oracle="""
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                 ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+  FROM events),
+m AS (
+  SELECT user_id, day, count(*) AS n_events,
+         CAST(sum(CAST(yc AS DECIMAL(38,0)) * dt_us) AS DOUBLE) AS num,
+         CAST(sum(CAST(dt_us AS DECIMAL(38,0))) AS DOUBLE) AS den
+  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id, day)
+SELECT user_id, day, n_events, round(num / den / 100, 6) AS twap
+FROM m WHERE den > 0
+ORDER BY user_id, day
+""",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    m = d.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("dt_us")).cast("double").alias("num"),
+        F.sum(F.col("dt_us").cast("decimal(38,0)")).cast("double").alias("den"),
+    )
+    return (
+        m.filter(F.col("den") > 0)
+        .select("user_id", "day", "n_events", F.round(F.col("num") / F.col("den") / 100, 6).alias("twap"))
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "attribution_linear_touch",
+    doc="Linear multi-touch attribution (SURVEY §3 J7 application): every "
+    "click by the same user in the 30 minutes up to a purchase shares the "
+    "purchase value equally (credit = value / n_touches); per-user rollup "
+    "of credited touches and attributed revenue. The join is equi on "
+    "user_id with a range residual — sort-merge on user_id, so at 100 TB "
+    "it co-partitions with every other user_id-keyed stage; per-purchase "
+    "touch counts ride a window over the join output, no second join.",
+    tags=("events", "analytics", "range-join"),
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.pid, p.user_id, p.value,
+         count(*) OVER (PARTITION BY p.pid) AS n_touches
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE)
+SELECT user_id,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       round(sum(value / n_touches), 2) AS attributed_value
+FROM j GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).withColumn("n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid")))
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.countDistinct("pid").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_ab_welch_ttest",
+    doc="Welch's two-sample t-test, clicks vs purchases (SURVEY §3 A1 "
+    "statistics application — the reference's before/after line-change "
+    "delay comparison): one conditional-aggregation pass accumulates n, "
+    "Σy, Σy² per arm as exact cent-integers in DECIMAL(38,0) (same "
+    "reproducibility argument as agg_moment_stats); the t statistic and "
+    "Welch–Satterthwaite df evaluate in double on the 1-row aggregate. "
+    "Single map-side-combinable shuffle, 1-row result.",
+    tags=("agg", "stats", "analytics"),
+    oracle="""
+WITH y AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events WHERE event_type IN ('click', 'purchase')),
+m AS (
+  SELECT
+    count(*) FILTER (WHERE event_type = 'click') AS n_a,
+    count(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+    CAST(sum(CAST(yc AS DECIMAL(38,0))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS s1a,
+    CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS s2a,
+    CAST(sum(CAST(yc AS DECIMAL(38,0))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s1b,
+    CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s2b
+  FROM y)
+SELECT n_a, n_b,
+       round(s1a / n_a / 100, 6) AS mean_a,
+       round(s1b / n_b / 100, 6) AS mean_b,
+       round((s1a / n_a - s1b / n_b)
+             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b), 6) AS t_stat,
+       round(pow((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                 + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b, 2)
+             / (pow((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a, 2) / (n_a - 1)
+                + pow((s2b - s1b * s1b / n_b) / (n_b - 1) / n_b, 2) / (n_b - 1)), 3)
+         AS welch_df
+FROM m
+""",
+)
+def agg_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    yc = F.round(F.col("value") * 100).cast("long")
+    y = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", yc.alias("yc")
+    )
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = y.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, dec(F.col("yc")))).cast("double").alias("s1a"),
+        F.sum(F.when(is_a, dec(F.col("yc") * F.col("yc")))).cast("double").alias("s2a"),
+        F.sum(F.when(is_b, dec(F.col("yc")))).cast("double").alias("s1b"),
+        F.sum(F.when(is_b, dec(F.col("yc") * F.col("yc")))).cast("double").alias("s2b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1a, s2a, s1b, s2b = (F.col(c) for c in ("s1a", "s2a", "s1b", "s2b"))
+    se_a = (s2a - s1a * s1a / n_a) / (n_a - 1) / n_a  # var_a / n_a, in cents²
+    se_b = (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b
+    t = (s1a / n_a - s1b / n_b) / F.sqrt(se_a + se_b)
+    df = F.pow(se_a + se_b, 2) / (F.pow(se_a, 2) / (n_a - 1) + F.pow(se_b, 2) / (n_b - 1))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(s1a / n_a / 100, 6).alias("mean_a"),
+        F.round(s1b / n_b / 100, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 3).alias("welch_df"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    doc="Exact rolling median over the trailing 5 events per user (SURVEY "
+    "§3 W3 order-statistics frame): Spark has no exact median window, so "
+    "the frame materializes as a bounded collect_list (≤5 doubles), "
+    "array_sort, and middle-element pick — still JVM-side, one shuffle, "
+    "one sort; even-sized frames average the two middles to match the "
+    "continuous-median interpolation DuckDB's median() window uses. The "
+    "frame bound keeps per-row state O(k), so the same plan holds at any "
+    "scale.",
+    tags=("window", "analytics"),
+    oracle="""
+SELECT user_id, event_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median_5
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    med = F.when(
+        n % 2 == 1, F.element_at(a, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(a, (n / 2).cast("int")) + F.element_at(a, (n / 2 + 1).cast("int"))) / 2
+    )
+    return e.select(
+        "user_id", "event_id", F.round(med, 6).alias("rolling_median_5")
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "agg_equidepth_histogram",
+    doc="Equi-depth (quartile) histogram per event_type (SURVEY §3 A3 "
+    "companion — the optimizer-statistics shape ANALYZE builds): ntile(4) "
+    "over a total order (value, event_id tie-break makes tile assignment "
+    "deterministic cross-engine), then per-tile count and value bounds. "
+    "Raw doubles are only min/max'd, never summed — exact parity without "
+    "rounding. One shuffle + sort per event_type partition.",
+    tags=("agg", "window", "analytics"),
+    oracle="""
+WITH t AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+  FROM events)
+SELECT event_type, CAST(tile AS INTEGER) AS tile,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+FROM t GROUP BY event_type, tile
+ORDER BY event_type, tile
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = e.select("event_type", "value", F.ntile(4).over(w).alias("tile"))
+    return (
+        t.groupBy("event_type", "tile")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .select("event_type", F.col("tile").cast("int").alias("tile"), "n", "lo", "hi")
+        .orderBy("event_type", "tile")
+    )

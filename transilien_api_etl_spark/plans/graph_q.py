@@ -76,3 +76,93 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.round(F.col("rank") * 1000, 6).alias("rank_permille")
     ).orderBy("node")
+
+
+@register(
+    "graph_triangle_stats",
+    doc="Triangle count + global clustering coefficient on the undirected "
+    "nation-trade graph (SURVEY §3 F10 neighborhood): nodes = nations, "
+    "edge (a,b) iff a supplier in a shipped to a customer in b. The "
+    "count uses the oriented-edge pattern (every edge stored once as "
+    "a<b; triangles found by joining two oriented edges on their low "
+    "endpoint and closing with a third) — the same join shape "
+    "large-graph engines use after degree-orientation, so it scales as "
+    "Σ deg(v)² rather than n³. The raw nation graph is complete, so "
+    "edges are thresholded to the top-40%% trade corridors by volume "
+    "(exact percentile over the edge aggregate) to leave real "
+    "structure. Wedges come from the degree table; coefficient = "
+    "3·triangles / wedges.",
+    tags=("graph", "triangles"),
+    oracle="""
+WITH vol AS (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         sum(l.l_extendedprice) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2),
+raw AS (
+  SELECT a, b FROM vol WHERE v > (SELECT quantile_cont(v, 0.6) FROM vol)),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM raw UNION ALL SELECT b FROM raw) GROUP BY node),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM raw e1 JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_edges,
+       CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+       round(3.0 * (SELECT n_tri FROM tri)
+             / (SELECT sum(d * (d - 1) / 2) FROM deg), 6) AS clustering_coef
+""",
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.sum("l_extendedprice").alias("v"))
+    )
+    thr = vol.agg(F.expr("percentile(v, 0.6)").alias("thr"))
+    pair = vol.crossJoin(F.broadcast(thr)).filter(F.col("v") > F.col("thr")).select("a", "b")
+    e1, e2, e3 = pair.alias("e1"), pair.alias("e2"), pair.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")))
+        .join(e3, (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        pair.select(F.col("a").alias("node"))
+        .unionAll(pair.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).alias("wedges"),
+    )
+    edges_n = pair.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(edges_n)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("wedges"), 6).alias("clustering_coef"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Quantized-embedding plans — SURVEY.md §3 F8 scale ladder (M6).
+
+SQ8 scalar quantization (operators/quantize.py) + asymmetric quantized
+search. The DuckDB oracles rebuild the exact same arithmetic with indexed
+list lambdas and ``list_reduce`` left-folds, so every float matches
+bit-for-bit before the presentation round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.vectors import dot, l2_norm
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.quantize import (
+    sq8_dequant_expr,
+    sq8_encode,
+    sq8_stats,
+)
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+# Per-dimension stats + code arithmetic shared by both oracles. DuckDB
+# lambdas index 1-based (i), matching list indexing mins[i]/maxs[i]; the
+# Spark side uses 0-based F.get — same element, different convention.
+_SQ8_CTE = """
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+s AS (
+  SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+  FROM (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d)),
+c AS (
+  SELECT vec_id,
+         list_transform(v, (x, i) ->
+           CAST(round((x - mins[i]) / (maxs[i] - mins[i]) * 255) AS INTEGER))
+           AS codes
+  FROM e, s),
+dq AS (
+  SELECT vec_id,
+         list_transform(codes, (cd, i) ->
+           mins[i] + cd * (maxs[i] - mins[i]) / 255) AS dqv
+  FROM c, s)
+"""
+
+
+@register(
+    "embeddings_quantize_int8",
+    doc="SQ8 scalar quantization of the embedding corpus (SURVEY §3 F8 "
+    "memory ladder): per-dimension global [min,max] → 1-byte codes → "
+    "per-vector reconstruction MSE. The stats are a 64-key map-side-"
+    "combinable aggregate folded into ONE broadcast row; encoding rides "
+    "the scan as an indexed transform — no per-row shuffle, no Python. "
+    "MSE folds sequentially (aggregate ≡ DuckDB list_reduce) so the "
+    "hash matches to the bit before the display round.",
+    tags=("vectors", "quantize"),
+    oracle=f"""
+WITH {_SQ8_CTE},
+r AS (
+  SELECT c.vec_id,
+         array_to_string(c.codes[1:8], ',') AS codes_head,
+         list_reduce(
+           list_transform(e.v, (x, i) -> pow(x - dq.dqv[i], 2)),
+           (a, b) -> a + b) / len(e.v) AS mse
+  FROM c JOIN dq ON c.vec_id = dq.vec_id JOIN e ON c.vec_id = e.vec_id)
+SELECT vec_id, codes_head, round(mse, 10) AS mse
+FROM r ORDER BY vec_id
+""",
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, sq8_stats(emb))
+    dqv = sq8_dequant_expr("codes")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), dqv, lambda x, y: F.pow(x.cast("double") - y, F.lit(2))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(F.slice("codes", 1, 8), lambda c: c.cast("string"))).alias(
+            "codes_head"
+        ),
+        F.round(err / F.size("embedding"), 10).alias("mse"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "knn_sq8_top10",
+    doc="Asymmetric quantized kNN (SURVEY §3 F8): the query keeps full "
+    "float precision, the corpus side is SQ8 codes dequantized on the "
+    "fly — the memory-resident representation a 100 TB ANN serving tier "
+    "actually scans (4× smaller than float32). Same broadcast-query plan "
+    "as knn_cosine_top10; the only extra per-row work is the indexed "
+    "dequant transform. Top-10 by cosine, vec_id tie-break.",
+    tags=("vectors", "knn", "quantize"),
+    bench=True,
+    oracle=f"""
+WITH {_SQ8_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sc AS (
+  SELECT dq.vec_id,
+         list_inner_product(dq.dqv, q.qv)
+           / (sqrt(list_inner_product(dq.dqv, dq.dqv))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS cos_q8
+  FROM dq, q WHERE dq.vec_id <> 0)
+SELECT vec_id, round(cos_q8, 8) AS cos_q8
+FROM sc ORDER BY cos_q8 DESC, vec_id LIMIT 10
+""",
+)
+def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, sq8_stats(emb)).withColumn("dqv", sq8_dequant_expr("codes"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
+    )
+    cos = dot(F.col("dqv"), F.col("qv")) / (l2_norm(F.col("dqv")) * F.col("qn"))
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 8).alias("cos_q8"))
+        .orderBy(F.desc("cos_q8"), "vec_id")
+        .limit(10)
+    )
