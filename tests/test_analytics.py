@@ -111,3 +111,45 @@ def test_equidepth_tiles_balance_and_order(spark):
         # value ranges are ordered (ties may touch, never invert)
         assert (g["lo"] <= g["hi"]).all()
         assert (g["hi"].values[:-1] <= g["lo"].values[1:]).all()
+
+
+def test_pmi_matches_counter_recompute(spark):
+    out = REGISTRY["docs_pmi_collocations"].fn(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select("text").toPandas()
+    from collections import Counter
+    import math
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    scored = sorted(
+        (
+            (round(math.log(total * c / (uni[a] * uni[b])), 6), a, b, c)
+            for (a, b), c in bi.items()
+            if c >= 5
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:20]
+    assert len(out) == len(scored)
+    for row, (pmi, a, b, c) in zip(out.itertuples(index=False), scored):
+        assert (row.w1, row.w2, row.pair_count) == (a, b, c)
+        assert abs(row.pmi - pmi) < 1e-6
+
+
+def test_hierarchical_rollup_grains_conserve(spark):
+    out = REGISTRY["events_hierarchical_rollup"].fn(spark, SF).toPandas()
+    raw_n = load_table(spark, SF, "events").count()
+    for grain in ("hour", "day", "month"):
+        g = out[out["grain"] == grain]
+        assert int(g["n"].sum()) == raw_n
+    # value totals agree across grains to the cent
+    tv = out.groupby("grain")["total_value"].sum()
+    assert abs(tv["hour"] - tv["day"]) < 1e-6
+    assert abs(tv["day"] - tv["month"]) < 1e-6
+    # coarser grains have no more rows than finer ones
+    counts = out.groupby("grain").size()
+    assert counts["month"] <= counts["day"] <= counts["hour"]

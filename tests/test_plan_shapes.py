@@ -31,6 +31,9 @@ NLJ_ALLOWED = {
     # merged-sketch row × direct-sketch row: both sides are single-row
     # aggregates, the cross join is 1×1 by construction
     "sketch_hll_mergeable_rollup",
+    # corpus-total normalizer: BNLJ against a broadcast 1-row aggregate
+    # (the q11 shape) — bounded by construction
+    "docs_pmi_collocations",
 }
 
 FACT_QUERIES = [
@@ -119,6 +122,7 @@ FACT_QUERIES = [
     "agg_ab_welch_ttest",
     "window_rolling_median",
     "agg_equidepth_histogram",
+    "events_hierarchical_rollup",
 ]
 
 
