@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.io import load_table
-from transilien_api_etl_spark.operators.quantize import sq8_encode, sq8_stats
+from transilien_api_etl_spark.operators.quantize import sq8_encode, sq8_stats_model
 from transilien_api_etl_spark.plans.registry import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_codes_span_full_byte_range(spark):
     emb = load_table(spark, SF, "embeddings")
-    enc = sq8_encode(emb, sq8_stats(emb))
+    enc = sq8_encode(emb, *sq8_stats_model(emb))
     rng = enc.select(
         F.min(F.array_min("codes")).alias("lo"),
         F.max(F.array_max("codes")).alias("hi"),
@@ -27,11 +27,11 @@ def test_codes_span_full_byte_range(spark):
 def test_reconstruction_error_is_bounded_by_step(spark):
     out = REGISTRY["embeddings_quantize_int8"].fn(spark, SF).toPandas()
     emb = load_table(spark, SF, "embeddings")
-    stats = sq8_stats(emb).first()
+    mins, maxs = sq8_stats_model(emb)
     # worst-case per-dim error is half a quantization step; MSE must be
     # below the mean squared half-step across dimensions
-    bound = sum(((mx - mn) / 255 / 2) ** 2 for mn, mx in zip(stats["mins"], stats["maxs"]))
-    bound /= len(stats["mins"])
+    bound = sum(((mx - mn) / 255 / 2) ** 2 for mn, mx in zip(mins, maxs))
+    bound /= len(mins)
     assert (out["mse"] <= bound + 1e-12).all()
     assert (out["mse"] >= 0).all()
 

@@ -50,19 +50,19 @@ def _assign_col(centroids: list[tuple[int, list[float]]], vv: Column, v: Column)
     return F.array_min(F.array(*entries))
 
 
-def kmeans_assign(
-    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
-) -> DataFrame:
-    """Run ``iterations`` Lloyd steps, return (id, cluster, d2) assignments.
-
-    ``emb`` needs an integer id column and an array<numeric> vector column of
-    uniform length. Empty clusters are dropped (both here and in the SQL
-    oracle — the same rows vanish from the update group-by on both engines).
-    """
-    df = emb.select(
+def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("vv", dot(F.col("v"), F.col("v")))
+
+
+def kmeans_fit(
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
+) -> list[tuple[int, list[float]]]:
+    """Run ``iterations`` Lloyd steps and return the FINAL centroids —
+    the driver-held model, e.g. as a PQ codebook (operators/pq.py)."""
+    df = _normalize(emb, id_col, vec_col)
     # Cache the normalized vectors across Lloyd iterations (the MLlib
     # pattern): every iteration re-reads df; without this each one re-scans
     # parquet and re-folds v·v. MEMORY_AND_DISK so a 100 TB input degrades
@@ -103,6 +103,22 @@ def kmeans_assign(
         ]
 
     df.unpersist()
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
+) -> DataFrame:
+    """Run ``iterations`` Lloyd steps, return (id, cluster, d2) assignments.
+
+    ``emb`` needs an integer id column and an array<numeric> vector column of
+    uniform length. Empty clusters are dropped (both here and in the SQL
+    oracle — the same rows vanish from the update group-by on both engines).
+    """
+    centroids = kmeans_fit(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    )
+    df = _normalize(emb, id_col, vec_col)
     best = _assign_col(centroids, F.col("vv"), F.col("v"))
     return df.withColumn("best", best).select(
         F.col(id_col),

@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for embedding columns — SURVEY.md §3 F8, the
+top rung of the ANN memory ladder (M6).
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the FAISS `PQ8x4` family) splits each d-dim vector into M
+subvectors and vector-quantizes each subspace independently against its own
+k-entry codebook: storage drops to M·log2(k) bits per vector (here 8
+subspaces × 16 codes = 8 × 4 bits = 4 bytes for a 64-dim float vector,
+64× smaller than float64), and search uses Asymmetric Distance
+Computation: the query stays full-precision, a per-subspace lookup table
+LUT[m][j] = d²(q_m, codebook_m[j]) is built ONCE per query (M·k entries,
+driver-side — the same "small model state" contract as the k-means
+centroids), and each corpus row's approximate distance is Σ_m
+LUT[m][code_m] — one literal-array element_at per subspace, map-only.
+
+Spark-first shape:
+- training = FUSED Lloyd: all M subspace assignments evaluate in one
+  expression and all M centroid updates land in one (m, cid, d) group-by
+  — one Spark job per iteration regardless of M (see ``pq_train``);
+- encoding = ONE fused scan: all M argmin folds evaluate per row against
+  literal codebooks — no join, no shuffle, embarrassingly parallel;
+- search = the ADC fold over the codes array — also map-only; the only
+  wide node is the global top-k (TakeOrderedAndProject).
+
+Determinism contract (same as operators/kmeans.py): init = first k
+subvectors by id, d² rounded to 6 dp before argmin with cid tie-break,
+centroid means rounded to 6 dp per update, LUT entries rounded to 6 dp,
+ADC sum folds left-to-right — all bit-reproducible against the DuckDB
+unrolled-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.operators.kmeans import ROUND_DP, _assign_col
+
+Codebook = list[tuple[int, list[float]]]
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    sub_dim: int,
+    k: int,
+    iterations: int,
+) -> list[Codebook]:
+    """M subspace codebooks, trained FUSED: all M assignments evaluate in
+    one expression per iteration (pq_codes_col against the current literal
+    codebooks) and all M centroid updates land in ONE (m, cid, d) group-by
+    — so a full Lloyd iteration is a single Spark job regardless of M,
+    versus M·(init+iterations) driver round-trips for M independent
+    ``kmeans_fit`` runs (measured ~20× slower wall-clock at M=16). The
+    per-(m,cid,d) means are identical to the independent runs, so the
+    per-subspace unrolled-CTE oracle is unchanged. At corpus scale, train
+    on a deterministic sample (e.g. ``pmod(hash(id), 1000) = 0``) — the
+    codebook quality needs thousands of points per centroid, not the full
+    corpus."""
+    from pyspark import StorageLevel
+
+    df = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    init = df.orderBy(id_col).limit(k).select("v").collect()
+    books: list[Codebook] = [
+        [
+            (cid, [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]])
+            for cid, r in enumerate(init)
+        ]
+        for m in range(m_sub)
+    ]
+
+    for _ in range(iterations):
+        codes = pq_codes_col(books, "v", sub_dim)
+        ex = df.select(F.col("v").alias("v0"), F.posexplode(codes).alias("m", "cid"))
+        vals = ex.select(
+            "m",
+            "cid",
+            F.posexplode(
+                F.slice(F.col("v0"), F.col("m") * sub_dim + 1, F.lit(sub_dim))
+            ).alias("d", "val"),
+        )
+        rows = (
+            vals.groupBy("m", "cid", "d")
+            .agg(F.round(F.avg("val"), ROUND_DP).alias("val"))
+            .collect()  # m·k·sub_dim rows — the whole model update
+        )
+        by_m: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            by_m.setdefault(r["m"], {}).setdefault(r["cid"], {})[r["d"]] = r["val"]
+        books = [
+            [
+                (cid, [dims[d] for d in sorted(dims)])
+                for cid, dims in sorted(by_m.get(m, {}).items())
+            ]
+            for m in range(m_sub)
+        ]
+
+    df.unpersist()
+    return books
+
+
+def pq_codes_col(books: list[Codebook], vec_col: str, sub_dim: int) -> Column:
+    """All M code assignments fused into one array<int> expression —
+    a single map-only pass over the scan.
+
+    Kernel note: the argmin reuses operators/kmeans._assign_col (per-
+    centroid d² folds). Two alternatives were measured and rejected: a
+    fully-unrolled scalar tree (16 subspaces × 16 centroids of explicit
+    gets/multiplies) OOMs Janino codegen, and a flattened literal lookup
+    table wrecks codegen size the same way (see quantize_q's kernel
+    A/B/C note). The lambda-fold form pays a fixed analysis cost per
+    query — amortized at scale, irrelevant to the bench suite."""
+    from transilien_api_etl_spark.functions.vectors import dot
+
+    codes = []
+    for m, centroids in enumerate(books):
+        v = F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            m * sub_dim + 1,
+            sub_dim,
+        )
+        codes.append(_assign_col(centroids, dot(v, v), v)["cid"])
+    return F.array(*codes)
+
+
+def adc_luts(books: list[Codebook], qvec: list[float], sub_dim: int) -> list[list[float]]:
+    """Per-subspace distance lookup tables for query ``qvec``: LUT[m][j] =
+    round(d²(q_m, codebook_m[j]), 6), computed driver-side with the same
+    sequential left-fold arithmetic as ``list_inner_product``."""
+
+    def ip(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    luts: list[list[float]] = []
+    for m, centroids in enumerate(books):
+        q = [float(x) for x in qvec[m * sub_dim : (m + 1) * sub_dim]]
+        qq = ip(q, q)
+        lut = []
+        for _cid, c in centroids:
+            lut.append(round(qq - 2 * ip(q, c) + ip(c, c), ROUND_DP))
+        luts.append(lut)
+    return luts
+
+
+def adc_distance_col(luts: list[list[float]], codes_col: str) -> Column:
+    """ADC distance Σ_m LUT[m][code_m], folded left-to-right and rounded —
+    literal-array lookups only, no join."""
+    total: Column | None = None
+    for m, lut in enumerate(luts):
+        arr = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(arr, F.get(F.col(codes_col), m) + 1)
+        total = term if total is None else total + term
+    return F.round(total, ROUND_DP)
+
+
+def pq_oracle_cte(
+    *, m_sub: int, sub_dim: int, k: int, iterations: int, round_dp: int = ROUND_DP
+) -> str:
+    """DuckDB CTE chain replicating train→encode→LUT per subspace.
+
+    Exposes per-subspace CTEs ``af_m{m}(vec_id, cluster)`` (final code) and
+    ``lut_m{m}(cid, d)`` (query-vs-codebook d², query = vec_id 0) — the
+    same unroll-per-iteration honesty as kmeans_oracle_cte, ×M subspaces.
+    """
+
+    def d2(vexpr: str, cexpr: str) -> str:
+        return (
+            f"round(list_inner_product({vexpr},{vexpr}) - "
+            f"2*list_inner_product({vexpr},{cexpr}) + "
+            f"list_inner_product({cexpr},{cexpr}), {round_dp})"
+        )
+
+    parts = []
+    for m in range(m_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        parts.append(f"""
+e_m{m} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings),
+c0_m{m} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+            FROM e_m{m} ORDER BY vec_id LIMIT {k})""")
+        for i in range(1, iterations + 1):
+            parts.append(f""",
+a{i}_m{m} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e.v", "c.v")}, c.cid) AS rn
+    FROM e_m{m} e, c{i - 1}_m{m} c) t WHERE rn = 1),
+u{i}_m{m} AS (
+  SELECT cid, d, round(avg(val), {round_dp}) AS val FROM (
+    SELECT cid, unnest(v) AS val, generate_subscripts(v,1) AS d FROM a{i}_m{m}) t
+  GROUP BY cid, d),
+c{i}_m{m} AS (SELECT cid, list(val ORDER BY d) AS v FROM u{i}_m{m} GROUP BY cid)""")
+        parts.append(f""",
+af_m{m} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {d2("e.v", "c.v")}, c.cid) AS rn
+    FROM e_m{m} e, c{iterations}_m{m} c) t WHERE rn = 1),
+q_m{m} AS (SELECT v AS qv FROM e_m{m} WHERE vec_id = 0),
+lut_m{m} AS (
+  SELECT c.cid, {d2("q.qv", "c.v")} AS d
+  FROM c{iterations}_m{m} c, q_m{m} q)""")
+        if m < m_sub - 1:
+            parts.append(",")
+    return "".join(parts)

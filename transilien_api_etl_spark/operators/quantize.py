@@ -16,7 +16,8 @@ higher-order functions) — JVM-side, codegen'd, no Python crossing:
   groupBy (map-side combinable: each task emits ≤ dim rows), folded into a
   single broadcastable row of dim-ordered ``mins``/``maxs`` arrays.
 - ``sq8_encode`` : codes[i] = round((x[i]-mn[i])/(mx[i]-mn[i])·255) via an
-  indexed ``transform`` against the broadcast stats row.
+  indexed ``transform`` against LITERAL stats arrays (driver-held model,
+  see ``sq8_stats_model``) — map-only, join-free.
 - ``sq8_dequant``: mn[i] + code[i]·(mx[i]-mn[i])/255, same shape.
 
 The sequential left-fold of :func:`transilien_api_etl_spark.functions.
@@ -52,30 +53,45 @@ def sq8_stats(emb: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-def _scale(i: Column) -> Column:
-    return F.get(F.col("maxs"), i) - F.get(F.col("mins"), i)
+def sq8_stats_model(emb: DataFrame, col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Collect the per-dimension stats as driver-held lists (2×dim doubles —
+    the same legitimately-driver-held 'small model' contract as k-means
+    centroids). Downstream expressions embed them as LITERAL arrays: codegen
+    reads primitive constants instead of per-element lookups into a
+    broadcast-joined row's boxed arrays, which measured ~4 s slower per
+    1 M × 64 encode+score pass."""
+    r = sq8_stats(emb, col).first()
+    return [float(x) for x in r["mins"]], [float(x) for x in r["maxs"]]
 
 
-def sq8_code_expr(col: str = "embedding") -> Column:
+def _lit_arr(xs: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def sq8_code_expr(mins: list[float], maxs: list[float], col: str = "embedding") -> Column:
     """codes[i] = round((x-mn)/(mx-mn)·255) as array<int> (stored form would
     pack to 1 byte; int keeps the arithmetic transparent for the oracle)."""
+    mn, mx = _lit_arr(mins), _lit_arr(maxs)
     return F.transform(
         F.col(col),
         lambda x, i: F.round(
-            (x.cast("double") - F.get(F.col("mins"), i)) / _scale(i) * 255
+            (x.cast("double") - F.get(mn, i)) / (F.get(mx, i) - F.get(mn, i)) * 255
         ).cast("int"),
     )
 
 
-def sq8_dequant_expr(codes: str = "codes") -> Column:
-    """Dequantized array<double> from a codes column, against the joined
-    broadcast stats row."""
+def sq8_dequant_expr(mins: list[float], maxs: list[float], codes: str = "codes") -> Column:
+    """Dequantized array<double> from a codes column, against literal stats."""
+    mn, mx = _lit_arr(mins), _lit_arr(maxs)
     return F.transform(
         F.col(codes),
-        lambda c, i: F.get(F.col("mins"), i) + c.cast("double") * _scale(i) / 255,
+        lambda c, i: F.get(mn, i) + c.cast("double") * (F.get(mx, i) - F.get(mn, i)) / 255,
     )
 
 
-def sq8_encode(emb: DataFrame, stats: DataFrame, col: str = "embedding") -> DataFrame:
-    """Attach ``codes`` (array<int>) to every row via the broadcast stats."""
-    return emb.crossJoin(F.broadcast(stats)).withColumn("codes", sq8_code_expr(col))
+def sq8_encode(
+    emb: DataFrame, mins: list[float], maxs: list[float], col: str = "embedding"
+) -> DataFrame:
+    """Attach ``codes`` (array<int>) to every row — map-only, no join."""
+    return emb.withColumn("codes", sq8_code_expr(mins, maxs, col))
+

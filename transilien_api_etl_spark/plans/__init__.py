@@ -24,6 +24,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     analytics_q,
     quantize_q,
     text_more_q,
+    pq_q,
     pipeline_q,
     tpch_more,
     domain_q,

@@ -1,0 +1,127 @@
+"""Product-quantization plans — SURVEY.md §3 F8 memory-ladder top rung (M6).
+
+`operators/pq.py` composed into two registered queries: the PQ encoding of
+the corpus (16×4-bit codes per 64-dim vector) and ADC top-10 search. The
+oracle replays the full pipeline — 16 per-subspace unrolled Lloyd chains,
+final assignment, query LUTs — as one generated CTE forest, so training,
+encoding, AND search are value-checked end-to-end, not just row-counted.
+
+Registered late on purpose (same note as text_more_q: the round-2
+front-load in plans/__init__.py must not shift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.operators.pq import (
+    adc_distance_col,
+    adc_luts,
+    pq_codes_col,
+    pq_oracle_cte,
+    pq_train,
+)
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+M_SUB = 16
+SUB_DIM = 4
+K_CODES = 16
+ITERS = 2
+
+_CTE = pq_oracle_cte(m_sub=M_SUB, sub_dim=SUB_DIM, k=K_CODES, iterations=ITERS)
+
+_CODES_CONCAT = " || ',' || ".join(
+    f"CAST(a{m}.cluster AS VARCHAR)" for m in range(M_SUB)
+)
+_CODE_JOINS = "af_m0 a0" + "".join(
+    f" JOIN af_m{m} a{m} ON a{m}.vec_id = a0.vec_id" for m in range(1, M_SUB)
+)
+_LUT_JOINS = "".join(
+    f" JOIN lut_m{m} l{m} ON a{m}.cluster = l{m}.cid" for m in range(M_SUB)
+)
+_ADC_SUM = " + ".join(f"l{m}.d" for m in range(M_SUB))
+
+
+@register(
+    "embeddings_pq_codes",
+    doc=f"PQ{M_SUB}x4 encoding of the embedding corpus (SURVEY §3 F8 memory "
+    "ladder, above SQ8): 16 subspace codebooks of 16 centroids trained by "
+    "fixed-iteration Lloyd (operators/kmeans.py kmeans_fit per slice), "
+    "then ONE fused map-only scan assigns all 16 codes per vector against "
+    "literal codebooks — 8 bytes/vector, 32× smaller than float64. The "
+    "oracle replays all 16 training chains + the final assignment.",
+    tags=("vectors", "quantize", "pq"),
+    oracle=f"""
+WITH {_CTE}
+SELECT a0.vec_id, {_CODES_CONCAT} AS pq_codes
+FROM {_CODE_JOINS}
+ORDER BY a0.vec_id
+""",
+)
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        m_sub=M_SUB,
+        sub_dim=SUB_DIM,
+        k=K_CODES,
+        iterations=ITERS,
+    )
+    codes = pq_codes_col(books, "embedding", SUB_DIM)
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "pq_codes"
+        ),
+    ).orderBy("vec_id")
+
+
+@register(
+    "knn_pq_adc_top10",
+    doc="PQ asymmetric-distance top-10 (SURVEY §3 F8): the query (vec_id 0, "
+    "full precision) builds an M×k distance lookup table ONCE driver-side "
+    "(the per-query 'small model' — 256 doubles); each corpus row's "
+    "approximate distance is the left-fold Σ_m LUT[m][code_m] — literal "
+    "array element_at per subspace, map-only scan, TakeOrderedAndProject "
+    "top-k. This is exactly FAISS's IndexPQ search loop, declaratively. "
+    "At 100 TB the codes table is the only thing scanned: 8 bytes/vector.",
+    tags=("vectors", "knn", "quantize", "pq"),
+    oracle=f"""
+WITH {_CTE}
+SELECT a0.vec_id, round({_ADC_SUM}, 6) AS adc_d2
+FROM {_CODE_JOINS}{_LUT_JOINS}
+WHERE a0.vec_id <> 0
+ORDER BY adc_d2, a0.vec_id
+LIMIT 10
+""",
+)
+def knn_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        m_sub=M_SUB,
+        sub_dim=SUB_DIM,
+        k=K_CODES,
+        iterations=ITERS,
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    luts = adc_luts(books, qvec, SUB_DIM)
+    enc = emb.select("vec_id", pq_codes_col(books, "embedding", SUB_DIM).alias("codes"))
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .select("vec_id", adc_distance_col(luts, "codes").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
