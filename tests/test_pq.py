@@ -85,3 +85,18 @@ def test_pq_recall_vs_exact_l2(spark):
     # PQ8x4 on 64-dim uniform vectors is a coarse sketch; require the
     # overlap a correct implementation achieves with margin
     assert len(exact_ids & got) >= 3, (sorted(exact_ids), sorted(got))
+
+
+def test_pq_encode_plan_is_join_free(spark):
+    """Codebooks are literal; encoding must ride the scan with no Join or
+    Exchange other than the presentation sort."""
+    import contextlib
+    import io
+
+    df = REGISTRY["embeddings_pq_codes"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
