@@ -153,3 +153,51 @@ def test_hierarchical_rollup_grains_conserve(spark):
     # coarser grains have no more rows than finer ones
     counts = out.groupby("grain").size()
     assert counts["month"] <= counts["day"] <= counts["hour"]
+
+
+def test_banded_range_join_equals_naive(spark):
+    """banded_range_join must produce exactly the pairs the naive
+    condition-join produces (each pair meets in exactly one band)."""
+    from transilien_api_etl_spark.operators.joins import banded_range_join
+
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    banded = {
+        (r.pid, r.cid)
+        for r in banded_range_join(p, c, "pts", "cts", -300, 0).select("pid", "cid").collect()
+    }
+    naive = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("cts") <= F.col("pts")),
+        ).select("pid", "cid").collect()
+    }
+    assert banded == naive and len(banded) > 0
+
+
+def test_banded_range_join_plans_equi_join(spark):
+    """The whole point: the banded form is a hash/sort-merge equi join,
+    never a nested loop."""
+    import contextlib
+    import io
+
+    from transilien_api_etl_spark.operators.joins import banded_range_join
+
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(F.col("ts").alias("cts"))
+    df = banded_range_join(p, c, "pts", "cts", -300, 0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan

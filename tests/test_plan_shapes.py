@@ -34,6 +34,8 @@ NLJ_ALLOWED = {
     # corpus-total normalizer: BNLJ against a broadcast 1-row aggregate
     # (the q11 shape) — bounded by construction
     "docs_pmi_collocations",
+    # IVF probe: centroid×1-row-query cross — 8×1, bounded by construction
+    "knn_ivf_sq8_top10",
 }
 
 FACT_QUERIES = [
@@ -123,6 +125,13 @@ FACT_QUERIES = [
     "window_rolling_median",
     "agg_equidepth_histogram",
     "events_hierarchical_rollup",
+    # keyless interval join must NOT be the BNLJ it would naively plan
+    "range_join_banded_global",
+    # quantized ANN: literal-model kernels must stay join-free
+    "knn_sq8_top10",
+    "embeddings_quantize_int8",
+    "embeddings_pq_codes",
+    "knn_pq_adc_top10",
 ]
 
 

@@ -182,3 +182,46 @@ def range_join(
         & (rts <= lts + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
     return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """KEYLESS interval join that stays a hash join at any scale.
+
+    A time-range join with no equi key plans a BroadcastNestedLoopJoin —
+    the shape the plan gate forbids on fact paths. Banding restores an
+    equi key: with band width = the window span, each left row's window
+    [ts+lower, ts+upper] overlaps at most 2 bands (exploded), and each
+    right row owns exactly ONE band (its own ts), so every qualifying
+    pair meets in exactly one band — no post-dedup — and the join is a
+    plain shuffled equi join on the band integer. This is the batch twin
+    of the watermark bucketing Structured Streaming uses for
+    stream-stream interval joins.
+
+    Columns are exposed with ``l.`` / ``r.`` aliases like range_join.
+    """
+    span_us = (upper_seconds - lower_seconds) * 1_000_000
+    if span_us <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    lo = F.unix_micros(lts) + lower_seconds * 1_000_000
+    hi = F.unix_micros(lts) + upper_seconds * 1_000_000
+    lband = F.explode(
+        F.sequence(F.floor(lo / span_us), F.floor(hi / span_us))
+    ).alias("_band")
+    l = left.alias("l").select("l.*", lband)
+    r = right.alias("r").select(
+        "r.*", F.floor(F.unix_micros(F.col(f"r.{right_ts}")) / span_us).alias("_rband")
+    )
+    cond = (
+        (F.col("_band") == F.col("_rband"))
+        & (F.unix_micros(F.col(f"r.{right_ts}")) >= F.unix_micros(F.col(f"l.{left_ts}")) + lower_seconds * 1_000_000)
+        & (F.unix_micros(F.col(f"r.{right_ts}")) <= F.unix_micros(F.col(f"l.{left_ts}")) + upper_seconds * 1_000_000)
+    )
+    return l.alias("l").join(r.alias("r"), cond, "inner").drop("_band", "_rband")

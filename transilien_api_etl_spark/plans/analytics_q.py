@@ -324,3 +324,47 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("tile").cast("int").alias("tile"), "n", "lo", "hi")
         .orderBy("event_type", "tile")
     )
+
+
+@register(
+    "range_join_banded_global",
+    doc="KEYLESS interval join via time banding (SURVEY §3 J7 scale "
+    "variant, operators/joins.py banded_range_join): for every purchase, "
+    "count ALL clicks platform-wide in the preceding 5 minutes — no "
+    "shared key, so the naive plan is the BroadcastNestedLoopJoin the "
+    "plan gate forbids; banding by the window span restores a shuffled "
+    "equi join on the band integer (each right row owns one band, each "
+    "left window overlaps ≤2 — every pair meets exactly once). The "
+    "batch twin of Structured Streaming's interval-join state bucketing.",
+    tags=("events", "range-join", "banded"),
+    oracle="""
+SELECT p.event_id AS pid,
+       CAST(count(*) AS BIGINT) AS n_clicks_5m,
+       round(sum(c.value), 2) AS clicks_value
+FROM (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT ts, value FROM events WHERE event_type = 'click') c
+  ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+GROUP BY p.event_id
+ORDER BY pid
+""",
+)
+def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transilien_api_etl_spark.operators.joins import banded_range_join
+
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("cts"), F.col("value").alias("cval")
+    )
+    j = banded_range_join(p, c, "pts", "cts", -300, 0)
+    return (
+        j.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_5m"),
+            F.round(F.sum("cval"), 2).alias("clicks_value"),
+        )
+        .orderBy("pid")
+    )

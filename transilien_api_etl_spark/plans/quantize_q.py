@@ -142,3 +142,88 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_q8"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "knn_ivf_sq8_top10",
+    doc="IVF+SQ8 composed ANN (SURVEY §3 F8 — the FAISS IVF-SQ production "
+    "shape): the coarse quantizer prunes to the 2 nearest cells "
+    "(partition pruning at 100 TB — inverted lists are parquet "
+    "partitions keyed by cell), and the fine scan scores SQ8 codes "
+    "dequantized against literal stats — so the bytes actually read "
+    "per query are (probed fraction) × (4 bytes/dim), the product of "
+    "both ladders. Exact same probe as knn_ivf_top10, exact same "
+    "asymmetric kernel as knn_sq8_top10; hash-checked end-to-end.",
+    tags=("vectors", "knn", "ivf", "quantize"),
+    oracle=f"""
+WITH {_SQ8_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+    FROM embeddings, generate_series(1, 64) AS t(i)
+    GROUP BY label, i)
+  GROUP BY label),
+probed AS (
+  SELECT cent.label FROM cent, q
+  ORDER BY (list_inner_product(cv, qv)
+            / (sqrt(list_inner_product(cv, cv))
+               * sqrt(list_inner_product(qv, qv)))) DESC, label
+  LIMIT 2),
+sc AS (
+  SELECT dq.vec_id,
+         list_inner_product(dq.dqv, q.qv)
+           / (sqrt(list_inner_product(dq.dqv, dq.dqv))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS cos_q8
+  FROM dq
+  JOIN embeddings emb ON dq.vec_id = emb.vec_id
+  JOIN probed ON emb.label = probed.label, q
+  WHERE dq.vec_id <> 0)
+SELECT vec_id, round(cos_q8, 8) AS cos_q8
+FROM sc ORDER BY cos_q8 DESC, vec_id LIMIT 10
+""",
+)
+def knn_ivf_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_stats_model(emb)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qn = 0.0
+    for x in qvec:
+        qn += x * x
+    qn = qn ** 0.5
+    qv = F.array(*[F.lit(x) for x in qvec])
+    # coarse probe — identical to knn_ivf_top10
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv2"), l2_norm(F.col("embedding")).alias("qn2")
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    probe_cos = dot(F.col("cv"), F.col("qv2")) / (l2_norm(F.col("cv")) * F.col("qn2"))
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .orderBy(F.desc(probe_cos), "label")
+        .limit(2)
+        .select("label")
+    )
+    # fine scan: SQ8 asymmetric kernel over the probed cells only
+    enc = sq8_encode(emb.filter(F.col("vec_id") != 0), mins, maxs)
+    dq = enc.join(F.broadcast(probed), "label").withColumn(
+        "dqv", sq8_dequant_expr(mins, maxs, "codes")
+    )
+    cos = dot(F.col("dqv"), qv) / (l2_norm(F.col("dqv")) * F.lit(qn))
+    return (
+        dq.select("vec_id", F.round(cos, 8).alias("cos_q8"))
+        .orderBy(F.desc("cos_q8"), "vec_id")
+        .limit(10)
+    )
