@@ -132,6 +132,9 @@ FACT_QUERIES = [
     "embeddings_quantize_int8",
     "embeddings_pq_codes",
     "knn_pq_adc_top10",
+    # Spark 4 surface
+    "agg_approx_top_k_twin",
+    "sql_pipe_revenue_by_status",
 ]
 
 

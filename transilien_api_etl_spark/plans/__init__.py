@@ -25,6 +25,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     quantize_q,
     text_more_q,
     pq_q,
+    surface_more_q,
     pipeline_q,
     tpch_more,
     domain_q,
