@@ -93,3 +93,110 @@ def lakehouse_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "lakehouse_cdc_orders",
+    doc="CDC change feed between two lakehouse versions (sources/"
+    "lakehouse.py change_feed, SURVEY §3.11 Y11): v0 = orders with "
+    "o_orderkey%10<8, v1 = after the same MERGE lakehouse_merge_orders "
+    "applies; the feed is the file-diff-pruned key-joined snapshot "
+    "delta. Output = per-change-type counts and price sums; the oracle "
+    "derives each class algebraically (update_postimage = %10==0 at "
+    "doubled price, delete = %10==1 at old price, insert = %10∈{8,9}).",
+    tags=("warehouse", "cdc", "lakehouse"),
+    oracle="""
+WITH feed AS (
+  SELECT 'delete' AS change_type, o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT 'insert', o_totalprice FROM orders WHERE o_orderkey % 10 IN (8, 9)
+  UNION ALL
+  SELECT 'update_postimage', o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM feed GROUP BY change_type ORDER BY change_type
+""",
+)
+def lakehouse_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders").select(*_COLS)
+    table = tempfile.mkdtemp(prefix="lakehouse-cdc-")
+    try:
+        target = o.where(F.col("o_orderkey") % 10 < 8)
+        lh.create_table(spark, table, target, ["o_orderkey"])
+        updates = (
+            o.where(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("is_delete", F.lit(False))
+        )
+        deletes = o.where(F.col("o_orderkey") % 10 == 1).withColumn(
+            "is_delete", F.lit(True)
+        )
+        inserts = o.where(F.col("o_orderkey") % 10 >= 8).withColumn(
+            "is_delete", F.lit(False)
+        )
+        lh.merge_into(
+            spark,
+            table,
+            updates.unionByName(deletes).unionByName(inserts),
+            delete_col="is_delete",
+        )
+        feed = lh.change_feed(spark, table, 0, 1)
+        result = (
+            feed.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("change_type")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@register(
+    "lakehouse_time_travel_orders",
+    doc="Snapshot isolation / time travel (SURVEY §3.11 Y11): after the "
+    "MERGE commits v1, reading AS OF v0 must still return the pre-merge "
+    "table bit-for-bit — the oracle is simply the v1 derivation from the "
+    "source table. Proves old manifests stay readable and untouched "
+    "files are immutable.",
+    tags=("warehouse", "time-travel", "lakehouse"),
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders WHERE o_orderkey % 10 < 8
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def lakehouse_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders").select(*_COLS)
+    table = tempfile.mkdtemp(prefix="lakehouse-tt-")
+    try:
+        target = o.where(F.col("o_orderkey") % 10 < 8)
+        lh.create_table(spark, table, target, ["o_orderkey"])
+        # commit a second version that rewrites/deletes/adds rows
+        lh.merge_into(
+            spark,
+            table,
+            o.where(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("is_delete", F.lit(False)),
+            delete_col="is_delete",
+        )
+        v1 = lh.read_table(spark, table, version=0)
+        result = (
+            v1.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
