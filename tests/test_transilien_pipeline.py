@@ -243,3 +243,65 @@ def test_delay_board_dedups_repeated_polls(spark, schedule, observed):
     assert kept.delay_s == 4 * 60
     stats = {r.station7: r for r in delay_stats(board, ["station7"]).collect()}
     assert stats["8727100"].n_passages == 4  # unchanged vs single-poll board
+
+
+def test_nearest_stations_by_haversine(spark):
+    """Geo surface over stops.txt: known distances (Paris Gare du Nord ↔
+    Gare de Lyon ≈ 4.3 km straight-line) and deterministic nearest-2
+    ranking against a python brute force."""
+    import math
+
+    from transilien_api_etl_spark.functions.geo import (
+        haversine_km,
+        nearest_k_stations,
+    )
+    from pyspark.sql import functions as F
+
+    stops = spark.createDataFrame(
+        [
+            ("NORD", "Gare du Nord", 48.8809, 2.3553),
+            ("LYON", "Gare de Lyon", 48.8443, 2.3743),
+            ("SLAZ", "Saint-Lazare", 48.8765, 2.3256),
+            ("MONT", "Montparnasse", 48.8417, 2.3219),
+        ],
+        ["stop_id", "stop_name", "stop_lat", "stop_lon"],
+    )
+    probes = spark.createDataFrame([("chatelet", 48.8583, 2.3470)], ["who", "lat", "lon"])
+    out = nearest_k_stations(probes, stops, 2).orderBy("dist_km").collect()
+
+    def ref_km(lat1, lon1, lat2, lon2):
+        dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dlat / 2) ** 2 + math.cos(math.radians(lat1)) * math.cos(
+            math.radians(lat2)
+        ) * math.sin(dlon / 2) ** 2
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    brute = sorted(
+        (ref_km(48.8583, 2.3470, la, lo), sid)
+        for sid, _n, la, lo in [
+            ("NORD", None, 48.8809, 2.3553),
+            ("LYON", None, 48.8443, 2.3743),
+            ("SLAZ", None, 48.8765, 2.3256),
+            ("MONT", None, 48.8417, 2.3219),
+        ]
+    )[:2]
+    assert [r["stop_id"] for r in out] == [sid for _d, sid in brute]
+    assert all(abs(r["dist_km"] - d) < 1e-9 for r, (d, _s) in zip(out, brute))
+    # closed-form spot check: Nord ↔ Lyon ≈ 3.0-3.3 km
+    d = (
+        stops.filter(F.col("stop_id") == "NORD")
+        .crossJoin(
+            stops.filter(F.col("stop_id") == "LYON").select(
+                F.col("stop_lat").alias("lat2"), F.col("stop_lon").alias("lon2")
+            )
+        )
+        .select(
+            haversine_km(
+                F.col("stop_lat"), F.col("stop_lon"), F.col("lat2"), F.col("lon2")
+            ).alias("d")
+        )
+        .first()["d"]
+    )
+    ref = ref_km(48.8809, 2.3553, 48.8443, 2.3743)
+    assert abs(d - ref) < 1e-9
+    assert 3.5 < d < 5.0  # Gare du Nord ↔ Gare de Lyon straight-line
