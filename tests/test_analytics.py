@@ -201,3 +201,43 @@ def test_banded_range_join_plans_equi_join(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_zscore_matches_pandas_recompute(spark):
+    out = REGISTRY["events_anomaly_zscore"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "value").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["yc"] = (ev["value"] * 100).round().astype("int64")
+    g = ev.groupby("user_id")["yc"]
+    roll = g.rolling(21, min_periods=1)
+    # trailing-20 EXCLUDING current row = shift the rolling stats by 1
+    ev["n"] = g.transform(lambda s: s.rolling(20, min_periods=1).count().shift(1))
+    ev["mu"] = g.transform(lambda s: s.rolling(20, min_periods=1).mean().shift(1))
+    ev["sd"] = g.transform(lambda s: s.rolling(20, min_periods=1).std(ddof=1).shift(1))
+    m = ev[(ev["n"] >= 5) & (ev["sd"] > 0)]
+    m = m.assign(z=(m["yc"] - m["mu"]) / m["sd"]).merge(
+        out[["event_id", "zscore"]], on="event_id"
+    )
+    assert len(m) == len(out)
+    import numpy as np
+
+    assert np.allclose(m["z"], m["zscore"], atol=1e-4)
+    # anomalies are rare on this distribution
+    assert 0 <= out["is_anomaly"].mean() < 0.05
+
+
+def test_token_entropy_bounds_and_counter_recompute(spark):
+    out = REGISTRY["docs_token_entropy"].fn(spark, SF).toPandas()
+    import math
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    # entropy bounded by ln(distinct); uniform doc hits the bound
+    assert (out["entropy"] >= -1e-9).all()
+    assert (out["entropy"] <= (out["n_distinct"].map(math.log)) + 1e-5).all()
+    row = out.iloc[0]
+    toks = docs[docs["doc_id"] == row["doc_id"]]["text"].iloc[0].split(" ")
+    c = Counter(toks)
+    n = sum(c.values())
+    h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+    assert abs(row["entropy"] - h) < 1e-6

@@ -135,6 +135,8 @@ FACT_QUERIES = [
     # Spark 4 surface
     "agg_approx_top_k_twin",
     "sql_pipe_revenue_by_status",
+    "events_anomaly_zscore",
+    "docs_token_entropy",
 ]
 
 

@@ -371,3 +371,63 @@ def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    doc="Rolling z-score anomaly detection (SURVEY §3 W3 application — the "
+    "reference flags delay spikes per line the same way): each event "
+    "scored against the trailing-20 window's mean/stddev, computed from "
+    "exact cent-integer Σ and Σ² in DECIMAL(38,0) window frames (order-"
+    "independent, so cross-engine hash-exact); |z| > 3 flags. One "
+    "shuffle, one sorted frame; O(1) per-row state at any scale.",
+    tags=("events", "analytics", "window", "anomaly"),
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         count(*) OVER fr AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER fr AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) OVER fr AS DOUBLE) AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id,
+         round((yc - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+  FROM w WHERE n >= 5 AND s2 * n > s1 * s1)
+SELECT user_id, event_id, zscore, abs(zscore) > 3 AS is_anomaly
+FROM z ORDER BY user_id, event_id
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    yc = F.round(F.col("value") * 100).cast("long")
+    fr = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = e.select(
+        "user_id",
+        "event_id",
+        yc.alias("yc"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(dec(yc)).over(fr).cast("double").alias("s1"),
+        F.sum(dec(yc * yc)).over(fr).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (
+        w.filter((n >= 5) & (s2 * n > s1 * s1))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                (F.col("yc") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6
+            ).alias("zscore"),
+        )
+    )
+    return z.select(
+        "user_id", "event_id", "zscore", (F.abs(F.col("zscore")) > 3).alias("is_anomaly")
+    ).orderBy("user_id", "event_id")

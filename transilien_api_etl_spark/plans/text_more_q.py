@@ -148,3 +148,48 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag(monthly, "month"))
         .orderBy("grain", "bucket", "event_type")
     )
+
+
+@register(
+    "docs_token_entropy",
+    doc="Per-document token Shannon entropy (SURVEY §3 F9 — a standard "
+    "pretraining quality signal: near-zero entropy = degenerate "
+    "repetition, the distributional cousin of docs_repetition_metrics): "
+    "H = ln(n) - Σ c·ln(c) / n over per-doc token counts, computed from "
+    "exact integer counts so the only floats are the final logs. Two "
+    "map-side-combinable aggregations keyed by doc — no corpus-wide "
+    "state, embarrassingly parallel.",
+    tags=("text", "quality", "entropy"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents),
+cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+h AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         round(ln(CAST(sum(c) AS DOUBLE))
+               - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct, entropy
+FROM h ORDER BY doc_id
+""",
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
