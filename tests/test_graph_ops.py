@@ -31,7 +31,11 @@ def test_triangle_count_matches_brute_force(spark):
             F.least("s_nationkey", "c_nationkey").alias("a"),
             F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
-        .agg(F.sum("l_extendedprice").alias("v"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("v")
+        )
         .toPandas()
     )
     thr = vol["v"].quantile(0.6, interpolation="linear")

@@ -287,7 +287,7 @@ def test_nearest_stations_by_haversine(spark):
     )[:2]
     assert [r["stop_id"] for r in out] == [sid for _d, sid in brute]
     assert all(abs(r["dist_km"] - d) < 1e-9 for r, (d, _s) in zip(out, brute))
-    # closed-form spot check: Nord ↔ Lyon ≈ 3.0-3.3 km
+    # closed-form spot check against the python reference below
     d = (
         stops.filter(F.col("stop_id") == "NORD")
         .crossJoin(

@@ -43,9 +43,13 @@ def nearest_k_stations(
     probe_lat: str = "lat",
     probe_lon: str = "lon",
 ) -> DataFrame:
-    """k nearest stops per probe row: broadcast the stops dim, rank by
-    haversine with stop_id tie-break (deterministic)."""
-    j = probes.crossJoin(F.broadcast(stops)).withColumn(
+    """k nearest stops per DISTINCT probe: broadcast the stops dim, rank
+    by haversine with stop_id tie-break (deterministic). Probes are
+    deduplicated first — the rank window partitions by the probe columns,
+    so duplicate probe rows would otherwise share one partition and split
+    a single top-k between them; identical probes have identical answers,
+    so callers needing multiplicity re-join on the probe columns."""
+    j = probes.distinct().crossJoin(F.broadcast(stops)).withColumn(
         "dist_km",
         haversine_km(
             F.col(probe_lat), F.col(probe_lon), F.col("stop_lat"), F.col("stop_lon")

@@ -2,11 +2,11 @@
 top rung of the ANN memory ladder (M6).
 
 PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
-TPAMI 2011 — the FAISS `PQ8x4` family) splits each d-dim vector into M
-subvectors and vector-quantizes each subspace independently against its own
-k-entry codebook: storage drops to M·log2(k) bits per vector (here 8
-subspaces × 16 codes = 8 × 4 bits = 4 bytes for a 64-dim float vector,
-64× smaller than float64), and search uses Asymmetric Distance
+TPAMI 2011 — the FAISS `PQMxlog2(k)` family) splits each d-dim vector
+into M subvectors and vector-quantizes each subspace independently against
+its own k-entry codebook: storage drops to M·log2(k) bits per vector (the
+registered queries use M=16, k=16 → 16 × 4 bits = 8 bytes for a 64-dim
+float vector, 32× smaller than float64), and search uses Asymmetric Distance
 Computation: the query stays full-precision, a per-subspace lookup table
 LUT[m][j] = d²(q_m, codebook_m[j]) is built ONCE per query (M·k entries,
 driver-side — the same "small model state" contract as the k-means
@@ -131,9 +131,17 @@ def pq_codes_col(books: list[Codebook], vec_col: str, sub_dim: int) -> Column:
 
 
 def adc_luts(books: list[Codebook], qvec: list[float], sub_dim: int) -> list[list[float]]:
-    """Per-subspace distance lookup tables for query ``qvec``: LUT[m][j] =
-    round(d²(q_m, codebook_m[j]), 6), computed driver-side with the same
-    sequential left-fold arithmetic as ``list_inner_product``."""
+    """Per-subspace distance lookup tables for query ``qvec``: LUT[m][cid]
+    = round(d²(q_m, codebook_m[cid]), 6), computed driver-side with the
+    same sequential left-fold arithmetic as ``list_inner_product``.
+
+    Indexed BY CID, not by list position: when a cluster empties during
+    training its cid vanishes from the codebook, leaving the surviving
+    cids non-contiguous — a positional table would then map code c to a
+    DIFFERENT centroid's distance. Holes are NaN; they are unreachable
+    (the assignment argmin only ever emits surviving cids), so a NaN in
+    the output is a loud signal of a codes/codebook mismatch rather than
+    a silently-wrong distance."""
 
     def ip(a: list[float], b: list[float]) -> float:
         s = 0.0
@@ -145,10 +153,12 @@ def adc_luts(books: list[Codebook], qvec: list[float], sub_dim: int) -> list[lis
     for m, centroids in enumerate(books):
         q = [float(x) for x in qvec[m * sub_dim : (m + 1) * sub_dim]]
         qq = ip(q, q)
-        lut = []
-        for _cid, c in centroids:
-            lut.append(round(qq - 2 * ip(q, c) + ip(c, c), ROUND_DP))
-        luts.append(lut)
+        by_cid = {
+            cid: round(qq - 2 * ip(q, c) + ip(c, c), ROUND_DP)
+            for cid, c in centroids
+        }
+        size = max(by_cid) + 1
+        luts.append([by_cid.get(cid, float("nan")) for cid in range(size)])
     return luts
 
 

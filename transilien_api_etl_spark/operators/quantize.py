@@ -70,18 +70,24 @@ def _lit_arr(xs: list[float]) -> Column:
 
 def sq8_code_expr(mins: list[float], maxs: list[float], col: str = "embedding") -> Column:
     """codes[i] = round((x-mn)/(mx-mn)·255) as array<int> (stored form would
-    pack to 1 byte; int keeps the arithmetic transparent for the oracle)."""
+    pack to 1 byte; int keeps the arithmetic transparent for the oracle).
+    A constant dimension (mx == mn) codes to 0 instead of 0/0 NaN — the
+    oracle carries the same CASE guard."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
     return F.transform(
         F.col(col),
-        lambda x, i: F.round(
-            (x.cast("double") - F.get(mn, i)) / (F.get(mx, i) - F.get(mn, i)) * 255
-        ).cast("int"),
+        lambda x, i: F.when(F.get(mx, i) == F.get(mn, i), F.lit(0)).otherwise(
+            F.round(
+                (x.cast("double") - F.get(mn, i)) / (F.get(mx, i) - F.get(mn, i)) * 255
+            ).cast("int")
+        ),
     )
 
 
 def sq8_dequant_expr(mins: list[float], maxs: list[float], codes: str = "codes") -> Column:
-    """Dequantized array<double> from a codes column, against literal stats."""
+    """Dequantized array<double> from a codes column, against literal stats.
+    mn + 0·(mx-mn)/255 reduces to mn for constant dimensions, so no guard
+    is needed here — but it is kept explicit in the oracle for symmetry."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
     return F.transform(
         F.col(codes),

@@ -135,8 +135,10 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "attribution_linear_touch",
     doc="Linear multi-touch attribution (SURVEY §3 J7 application): every "
     "click by the same user in the 30 minutes up to a purchase shares the "
-    "purchase value equally (credit = value / n_touches); per-user rollup "
-    "of credited touches and attributed revenue. The join is equi on "
+    "purchase value equally (credit = value / n_touches, accumulated as "
+    "exact micro-credit integers in DECIMAL so the rollup is sum-order "
+    "independent); per-user rollup of credited touches and attributed "
+    "revenue. The join is equi on "
     "user_id with a range residual — sort-merge on user_id, so at 100 TB "
     "it co-partitions with every other user_id-keyed stage; per-purchase "
     "touch counts ride a window over the join output, no second join.",
@@ -154,7 +156,8 @@ j AS (
 SELECT user_id,
        CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
        CAST(count(*) AS BIGINT) AS n_credits,
-       round(sum(value / n_touches), 2) AS attributed_value
+       round(CAST(sum(CAST(round(value * 1000000 / n_touches) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000, 2) AS attributed_value
 FROM j GROUP BY user_id
 ORDER BY user_id
 """,
@@ -180,7 +183,15 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("pid").alias("n_purchases"),
             F.count(F.lit(1)).alias("n_credits"),
-            F.round(F.sum(F.col("value") / F.col("n_touches")), 2).alias("attributed_value"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value") * 1000000 / F.col("n_touches")).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1000000,
+                2,
+            ).alias("attributed_value"),
         )
         .orderBy("user_id")
     )

@@ -89,7 +89,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large-graph engines use after degree-orientation, so it scales as "
     "Σ deg(v)² rather than n³. The raw nation graph is complete, so "
     "edges are thresholded to the top-40%% trade corridors by volume "
-    "(exact percentile over the edge aggregate) to leave real "
+    "(exact percentile over exact-cent edge volumes — DECIMAL sums, so "
+    "edge membership can never flip on float sum order) to leave real "
     "structure. Wedges come from the degree table; coefficient = "
     "3·triangles / wedges.",
     tags=("graph", "triangles"),
@@ -97,7 +98,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vol AS (
   SELECT least(s.s_nationkey, c.c_nationkey) AS a,
          greatest(s.s_nationkey, c.c_nationkey) AS b,
-         sum(l.l_extendedprice) AS v
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS v
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -135,10 +136,21 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s_nationkey", "c_nationkey").alias("a"),
             F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
-        .agg(F.sum("l_extendedprice").alias("v"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("v")
+        )
     )
     thr = vol.agg(F.expr("percentile(v, 0.6)").alias("thr"))
-    pair = vol.crossJoin(F.broadcast(thr)).filter(F.col("v") > F.col("thr")).select("a", "b")
+    lazy_pair = (
+        vol.crossJoin(F.broadcast(thr)).filter(F.col("v") > F.col("thr")).select("a", "b")
+    )
+    # The edge list is nation-bounded (≤ n·(n-1)/2 = 300 rows) but its
+    # lineage is the full 4-table fact join; six downstream references
+    # would re-run that join six times. Materialize it once driver-side —
+    # the same "small model state" contract as k-means centroids.
+    pair = spark.createDataFrame(lazy_pair.collect(), lazy_pair.schema)
     e1, e2, e3 = pair.alias("e1"), pair.alias("e2"), pair.alias("e3")
     tri = (
         e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")))

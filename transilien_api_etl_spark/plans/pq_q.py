@@ -49,7 +49,8 @@ _ADC_SUM = " + ".join(f"l{m}.d" for m in range(M_SUB))
     "embeddings_pq_codes",
     doc=f"PQ{M_SUB}x4 encoding of the embedding corpus (SURVEY §3 F8 memory "
     "ladder, above SQ8): 16 subspace codebooks of 16 centroids trained by "
-    "fixed-iteration Lloyd (operators/kmeans.py kmeans_fit per slice), "
+    "fixed-iteration FUSED Lloyd (operators/pq.py pq_train — one Spark "
+    "job per iteration for all subspaces), "
     "then ONE fused map-only scan assigns all 16 codes per vector against "
     "literal codebooks — 8 bytes/vector, 32× smaller than float64. The "
     "oracle replays all 16 training chains + the final assignment.",

@@ -35,8 +35,9 @@ s AS (
 c AS (
   SELECT vec_id,
          list_transform(v, (x, i) ->
-           CAST(round((x - mins[i]) / (maxs[i] - mins[i]) * 255) AS INTEGER))
-           AS codes
+           CASE WHEN maxs[i] = mins[i] THEN 0
+                ELSE CAST(round((x - mins[i]) / (maxs[i] - mins[i]) * 255) AS INTEGER)
+           END) AS codes
   FROM e, s),
 dq AS (
   SELECT vec_id,

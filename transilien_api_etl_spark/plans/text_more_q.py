@@ -58,7 +58,11 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.posexplode(F.expr(_SPARK_TOKS)).alias("pos0", "tok")
     )
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the vocabulary aggregate feeds three consumers (total + two join
+    # sides); without a lineage cut each re-runs the corpus explode (8
+    # scans, 0 reused exchanges measured). localCheckpoint materializes
+    # it once — same trick operators/components.py uses per iteration.
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = uni.agg(F.sum("c").alias("total"))
     # adjacent pairs ride a window lead, not a positional self-join: one
     # shuffle on doc_id instead of re-joining the exploded stream to itself

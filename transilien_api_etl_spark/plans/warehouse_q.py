@@ -161,7 +161,7 @@ def lakehouse_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lakehouse_time_travel_orders",
     doc="Snapshot isolation / time travel (SURVEY §3.11 Y11): after the "
     "MERGE commits v1, reading AS OF v0 must still return the pre-merge "
-    "table bit-for-bit — the oracle is simply the v1 derivation from the "
+    "table bit-for-bit — the oracle is simply the v0 derivation from the "
     "source table. Proves old manifests stay readable and untouched "
     "files are immutable.",
     tags=("warehouse", "time-travel", "lakehouse"),
@@ -188,9 +188,9 @@ def lakehouse_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_delete", F.lit(False)),
             delete_col="is_delete",
         )
-        v1 = lh.read_table(spark, table, version=0)
+        v0 = lh.read_table(spark, table, version=0)
         result = (
-            v1.groupBy("o_orderpriority")
+            v0.groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
