@@ -106,3 +106,43 @@ def test_resample_ffill_grid_carries_last_observation(spark, events):
                 r.v,
                 want,
             )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    rts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    lower=st.integers(min_value=-600, max_value=599),
+    span=st.integers(min_value=1, max_value=900),
+)
+def test_banded_range_join_equals_naive_property(spark, lts, rts, lower, span):
+    """For arbitrary event times and window bounds, banding produces the
+    exact pair set of the naive interval predicate — each qualifying pair
+    meets in exactly one band."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from transilien_api_etl_spark.operators.joins import banded_range_join
+
+    upper = lower + span
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(lts)], ["lid", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=s)) for j, s in enumerate(rts)], ["rid", "rts"]
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in banded_range_join(left, right, "lts", "rts", lower, upper)
+        .select("lid", "rid")
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, ls in enumerate(lts)
+        for j, rs in enumerate(rts)
+        if ls + lower <= rs <= ls + upper
+    }
+    assert got == want
