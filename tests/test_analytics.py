@@ -241,3 +241,15 @@ def test_token_entropy_bounds_and_counter_recompute(spark):
     n = sum(c.values())
     h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
     assert abs(row["entropy"] - h) < 1e-6
+
+
+def test_pareto_abc_invariants(spark):
+    out = REGISTRY["orders_pareto_abc"].fn(spark, SF).toPandas().set_index("abc_class")
+    # shares partition the revenue
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    # cut-point semantics: A stops at <=80% (+ one customer of overshoot)
+    assert out.loc["A", "share"] <= 0.80 + 0.01
+    # ranking mechanics: mean revenue per customer strictly decreases
+    # down the classes regardless of how Pareto-shaped the data is
+    mean = out["revenue"] / out["n_customers"]
+    assert mean.loc["A"] > mean.loc["B"] > mean.loc["C"]

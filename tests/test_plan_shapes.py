@@ -137,6 +137,7 @@ FACT_QUERIES = [
     "sql_pipe_revenue_by_status",
     "events_anomaly_zscore",
     "docs_token_entropy",
+    "orders_pareto_abc",
 ]
 
 

@@ -442,3 +442,74 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "user_id", "event_id", "zscore", (F.abs(F.col("zscore")) > 3).alias("is_anomaly")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "orders_pareto_abc",
+    doc="Pareto/ABC classification of customers by revenue (SURVEY §3 W4 "
+    "application — the 80/95 cumulative-share cut every ops dashboard "
+    "runs): rank customers by exact-cent revenue (DECIMAL sums, "
+    "deterministic), take the running share of the grand total over the "
+    "(revenue desc, custkey) order, class A ≤ 80%, B ≤ 95%, C the tail; "
+    "roll up per class. Two shuffles (customer rollup + one global "
+    "ordered window): the window runs on customer-cardinality rows, not "
+    "orders, and the grand total rides the same window frame — no "
+    "scalar-subquery rescan.",
+    tags=("orders", "analytics", "pareto", "window"),
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT o_custkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS running,
+         sum(cents) OVER () AS total
+  FROM r),
+c AS (
+  SELECT CASE WHEN CAST(running AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(running AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents FROM s)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS revenue,
+       round(CAST(sum(cents) AS DOUBLE) / CAST(max(t.total) AS DOUBLE), 6) AS share
+FROM c, (SELECT sum(cents) AS total FROM r) t
+GROUP BY abc_class ORDER BY abc_class
+""",
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    r = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    w_run = (
+        Window.orderBy(F.desc("cents"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    s = r.select(
+        "cents",
+        F.sum("cents").over(w_run).alias("running"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    frac = F.col("running").cast("double") / F.col("total").cast("double")
+    c = s.select(
+        F.when(frac <= 0.80, "A").when(frac <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "cents",
+        "total",
+    )
+    return (
+        c.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("abc_class")
+    )
