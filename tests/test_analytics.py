@@ -253,3 +253,35 @@ def test_pareto_abc_invariants(spark):
     # down the classes regardless of how Pareto-shaped the data is
     mean = out["revenue"] / out["n_customers"]
     assert mean.loc["A"] > mean.loc["B"] > mean.loc["C"]
+
+
+def test_streaks_match_pandas_recompute(spark):
+    out = REGISTRY["events_activity_streaks"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").select("user_id", "ts").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(set(g["day"]))
+        streaks = []
+        start = days[0]
+        ln = 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                ln += 1
+            else:
+                streaks.append((ln, start))
+                start, ln = b, 1
+        streaks.append((ln, start))
+        best = sorted(streaks, key=lambda s: (-s[0], s[1]))[0]
+        row = out[out["user_id"] == uid].iloc[0]
+        assert row["longest_streak"] == best[0]
+        assert row["streak_start"] == best[1]
+        assert row["n_streaks"] == len(streaks)
+
+
+def test_mom_growth_identity(spark):
+    out = REGISTRY["orders_mom_growth"].fn(spark, SF).toPandas()
+    # delta/prev identity: growth_pct == delta / (revenue - delta) * 100
+    prev = out["revenue"] - out["delta"]
+    import numpy as np
+
+    assert np.allclose(out["growth_pct"], out["delta"] / prev * 100, atol=1e-3)

@@ -138,6 +138,8 @@ FACT_QUERIES = [
     "events_anomaly_zscore",
     "docs_token_entropy",
     "orders_pareto_abc",
+    "events_activity_streaks",
+    "orders_mom_growth",
 ]
 
 

@@ -513,3 +513,127 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "events_activity_streaks",
+    doc="Gaps-and-islands (SURVEY §3 W2/W4 composite — the classic "
+    "consecutive-run pattern): a user's distinct active days minus a "
+    "per-user day ranking collapses each consecutive run to one "
+    "constant group key (date - row_number·1day); per user report the "
+    "longest streak, its start, and the streak count. One shuffle on "
+    "user_id; every window reuses the same sort — no self-joins, no "
+    "recursion.",
+    tags=("events", "analytics", "streaks", "window"),
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         day - INTERVAL 1 DAY * row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len, min(day) AS streak_start
+  FROM g GROUP BY user_id, grp),
+r AS (
+  SELECT user_id, streak_len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+  FROM s)
+SELECT user_id, streak_len AS longest_streak, streak_start, n_streaks
+FROM r WHERE rn = 1 ORDER BY user_id
+""",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp",
+        F.col("day") - F.row_number().over(w) * F.expr("INTERVAL 1 DAY"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.col("streak_start")
+    )
+    r = s.select(
+        "user_id",
+        "streak_len",
+        "streak_start",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_streaks"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            "streak_start",
+            "n_streaks",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "orders_mom_growth",
+    doc="Period-over-period reporting (SURVEY §3 W2 application): monthly "
+    "revenue per order priority with month-over-month delta and growth "
+    "pct via lag over the finished aggregate — the window runs on "
+    "month×priority rows, never on the fact table. Exact-cent sums "
+    "(DECIMAL) make the deltas sum-order independent; growth pct rounds "
+    "at presentation.",
+    tags=("orders", "analytics", "window-lag", "reporting"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+         sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1, 2),
+l AS (
+  SELECT month, o_orderpriority,
+         round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+         lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev
+  FROM m)
+SELECT month, o_orderpriority, revenue,
+       round(CAST(cents_delta AS DOUBLE) / 100, 2) AS delta,
+       round(CAST(cents_delta AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 4)
+         AS growth_pct
+FROM (SELECT *, CAST(round(revenue * 100) AS DECIMAL(38,0)) - prev AS cents_delta
+      FROM l) t
+WHERE prev IS NOT NULL
+ORDER BY month, o_orderpriority
+""",
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    l = m.select(
+        "month",
+        "o_orderpriority",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+        F.lag("cents").over(w).alias("prev"),
+    )
+    delta_cents = F.round(F.col("revenue") * 100).cast("decimal(38,0)") - F.col("prev")
+    return (
+        l.filter(F.col("prev").isNotNull())
+        .select(
+            "month",
+            "o_orderpriority",
+            "revenue",
+            F.round(delta_cents.cast("double") / 100, 2).alias("delta"),
+            F.round(
+                delta_cents.cast("double") / F.col("prev").cast("double") * 100, 4
+            ).alias("growth_pct"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
