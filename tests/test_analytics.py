@@ -285,3 +285,21 @@ def test_mom_growth_identity(spark):
     import numpy as np
 
     assert np.allclose(out["growth_pct"], out["delta"] / prev * 100, atol=1e-3)
+
+
+def test_rfm_scores_partition_users_evenly(spark):
+    out = REGISTRY["events_rfm_segments"].fn(spark, SF).toPandas()
+    n_users = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert int(out["n_users"].sum()) == n_users
+    # segment codes are three tercile digits
+    assert out["segment"].str.fullmatch("[123]{3}").all()
+    # each R tercile holds a third of users (±1 per ntile contract)
+    r1 = out[out["segment"].str.startswith("1")]["n_users"].sum()
+    r3 = out[out["segment"].str.startswith("3")]["n_users"].sum()
+    assert abs(int(r1) - int(r3)) <= 1

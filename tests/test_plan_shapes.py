@@ -36,6 +36,8 @@ NLJ_ALLOWED = {
     "docs_pmi_collocations",
     # IVF probe: centroid×1-row-query cross — 8×1, bounded by construction
     "knn_ivf_sq8_top10",
+    # global-max anchor: BNLJ against a broadcast 1-row aggregate (q11 shape)
+    "events_rfm_segments",
 }
 
 FACT_QUERIES = [

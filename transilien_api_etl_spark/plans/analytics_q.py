@@ -637,3 +637,87 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderpriority")
     )
+
+
+@register(
+    "events_rfm_segments",
+    doc="RFM segmentation (SURVEY §3 W1/A1 composite — the classic "
+    "recency/frequency/monetary customer scoring): per user, days since "
+    "last purchase (vs the global max ts), purchase count, and exact-"
+    "cent spend; each dimension scored into terciles by ntile over a "
+    "tie-broken total order (user_id — deterministic cross-engine), "
+    "segment = concatenated R·F·M scores, rolled up per segment. The "
+    "global anchor is a 1-row broadcast; scoring windows run on "
+    "user-cardinality rows.",
+    tags=("events", "analytics", "rfm", "window"),
+    oracle="""
+WITH anchor AS (SELECT max(ts) AS maxts FROM events),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(ts), (SELECT maxts FROM anchor)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+sc AS (
+  SELECT user_id, recency_days, frequency, cents,
+         ntile(3) OVER (ORDER BY recency_days, user_id) AS r_score,
+         ntile(3) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         ntile(3) OVER (ORDER BY cents DESC, user_id) AS m_score
+  FROM u)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+         AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS monetary,
+       CAST(min(recency_days) AS BIGINT) AS best_recency_days
+FROM sc GROUP BY segment ORDER BY segment
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("maxts"))
+    u = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("maxts"), F.col("last_ts")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "cents",
+        )
+    )
+    sc = u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "cents",
+        F.ntile(3).over(Window.orderBy("recency_days", "user_id")).alias("r_score"),
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_score"),
+        F.ntile(3).over(Window.orderBy(F.desc("cents"), "user_id")).alias("m_score"),
+    )
+    return (
+        sc.groupBy(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("monetary"),
+            F.min("recency_days").cast("long").alias("best_recency_days"),
+        )
+        .orderBy("segment")
+    )
