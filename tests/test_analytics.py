@@ -303,3 +303,40 @@ def test_rfm_scores_partition_users_evenly(spark):
     r1 = out[out["segment"].str.startswith("1")]["n_users"].sum()
     r3 = out[out["segment"].str.startswith("3")]["n_users"].sum()
     assert abs(int(r1) - int(r3)) <= 1
+
+
+def test_gini_matches_numpy_recompute(spark):
+    row = REGISTRY["orders_gini_revenue"].fn(spark, SF).first()
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice").toPandas()
+    import numpy as np
+
+    cents = (
+        (o.groupby("o_custkey")["o_totalprice"].sum() * 100).round().astype("int64")
+    )
+    x = np.sort(cents.to_numpy())
+    n = len(x)
+    gini = 2 * np.sum((np.arange(1, n + 1)) * x) / (n * x.sum()) - (n + 1) / n
+    assert int(row["n"]) == n
+    assert abs(float(row["gini"]) - gini) < 1e-6
+    assert 0 <= row["gini"] < 1
+
+
+def test_autocorr_matches_numpy_recompute(spark):
+    out = REGISTRY["events_autocorr_lag1"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "value").toPandas()
+    import numpy as np
+
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["xc"] = (ev["value"] * 100).round().astype("int64")
+    for uid, g in list(ev.groupby("user_id"))[:20]:
+        x = g["xc"].to_numpy().astype(float)
+        if len(x) < 10:
+            assert uid not in set(out["user_id"])
+            continue
+        mu = x.mean()
+        r1 = np.sum((x[:-1] - mu) * (x[1:] - mu)) / np.sum((x - mu) ** 2)
+        row = out[out["user_id"] == uid]
+        assert len(row) == 1
+        assert abs(float(row["r1"].iloc[0]) - r1) < 1e-4
+    # lag-1 autocorrelation is bounded
+    assert (out["r1"].abs() <= 1.0 + 1e-6).all()

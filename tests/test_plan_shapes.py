@@ -142,6 +142,8 @@ FACT_QUERIES = [
     "orders_pareto_abc",
     "events_activity_streaks",
     "orders_mom_growth",
+    "orders_gini_revenue",
+    "events_autocorr_lag1",
 ]
 
 

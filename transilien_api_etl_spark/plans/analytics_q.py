@@ -721,3 +721,129 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "orders_gini_revenue",
+    doc="Gini coefficient of customer revenue concentration (SURVEY §3 "
+    "A1/W4 statistics application — the inequality complement of "
+    "orders_pareto_abc): G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues "
+    "sorted ascending with customer-id tie-break. Every accumulator is "
+    "an exact cent/rank integer in DECIMAL (i·xᵢ ≤ n·maxcents ≪ 10³⁸), "
+    "so the statistic is sum-order independent; only the final ratio "
+    "runs in double. One customer rollup + one ordered window on "
+    "customer-cardinality rows.",
+    tags=("orders", "analytics", "stats", "gini"),
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM r),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS DOUBLE) AS total,
+         CAST(sum(i * cents) AS DOUBLE) AS weighted
+  FROM s)
+SELECT n, round(total / 100, 2) AS total_revenue,
+       round(2 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
+FROM m
+""",
+)
+def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    r = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    s = r.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("double").alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return m.select(
+        "n",
+        F.round(total / 100, 2).alias("total_revenue"),
+        F.round(2 * weighted / (n * total) - (n + 1.0) / n, 6).alias("gini"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    doc="Lag-1 autocorrelation of each user's value sequence (SURVEY §3 "
+    "W2/A1 — the time-series memory statistic): r₁ = Σ(xₜ−x̄)(xₜ₊₁−x̄) "
+    "/ Σ(xₜ−x̄)², expanded so every Σ (n, Σx, Σx², Σ xₜ·xₜ₊₁ and the "
+    "boundary terms x₁, xₙ) accumulates as exact cent integers in "
+    "DECIMAL — sum-order independent — with only the final formula in "
+    "double. One shuffle on user_id; the lag product rides the same "
+    "sorted window.",
+    tags=("events", "analytics", "stats", "autocorr"),
+    oracle="""
+WITH x AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS xc,
+         lead(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS xn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+m AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(xc * xn AS DECIMAL(38,0))) AS DOUBLE) AS scross,
+         CAST(sum(CASE WHEN i = 1 THEN CAST(xc AS DECIMAL(38,0)) END) AS DOUBLE)
+           AS first_x,
+         CAST(sum(CASE WHEN i = n THEN CAST(xc AS DECIMAL(38,0)) END) AS DOUBLE)
+           AS last_x
+  FROM x GROUP BY user_id),
+r AS (
+  SELECT user_id, n,
+         round((scross - (s1 / n) * (2 * s1 - first_x - last_x)
+                + (n - 1) * (s1 / n) * (s1 / n))
+               / (s2 - s1 * s1 / n), 6) AS r1
+  FROM m WHERE n >= 10 AND s2 * n > s1 * s1)
+SELECT user_id, n, r1 FROM r ORDER BY user_id
+""",
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    x = e.select(
+        "user_id",
+        xc.alias("xc"),
+        F.lead(xc).over(w).alias("xn"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(dec(F.col("xc"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("xc") * F.col("xc"))).cast("double").alias("s2"),
+        F.sum(dec(F.col("xc") * F.col("xn"))).cast("double").alias("scross"),
+        F.sum(F.when(F.col("i") == 1, dec(F.col("xc")))).cast("double").alias("first_x"),
+        F.sum(F.when(F.col("i") == F.col("n"), dec(F.col("xc"))))
+        .cast("double")
+        .alias("last_x"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mu = s1 / n
+    num = F.col("scross") - mu * (2 * s1 - F.col("first_x") - F.col("last_x")) + (
+        n - 1
+    ) * mu * mu
+    den = s2 - s1 * s1 / n
+    return (
+        m.filter((n >= 10) & (s2 * n > s1 * s1))
+        .select("user_id", "n", F.round(num / den, 6).alias("r1"))
+        .orderBy("user_id")
+    )
