@@ -340,3 +340,59 @@ def test_autocorr_matches_numpy_recompute(spark):
         assert abs(float(row["r1"].iloc[0]) - r1) < 1e-4
     # lag-1 autocorrelation is bounded
     assert (out["r1"].abs() <= 1.0 + 1e-6).all()
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """On a crafted series with a hard mean shift, the split must land on
+    the true boundary with the max score."""
+    import datetime as dt
+
+    from transilien_api_etl_spark.plans.registry import REGISTRY as R
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 999, "click", 10.0 if i < 30 else 50.0, "{}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory(prefix="cp-") as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = R["events_changepoint_binary"].fn(spark, d).toPandas()
+    assert len(out) == 1
+    assert int(out["split_k"].iloc[0]) == 30
+    assert float(out["score"].iloc[0]) > 10
+
+
+def test_basket_lift_matches_counter_recompute(spark):
+    out = REGISTRY["orders_basket_lift"].fn(spark, SF).toPandas()
+    b = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    from collections import Counter
+    from itertools import combinations
+
+    item = Counter(b["l_partkey"])
+    n_orders = b["l_orderkey"].nunique()
+    pairs: Counter = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        for a, c in combinations(sorted(g["l_partkey"]), 2):
+            pairs[(a, c)] += 1
+    scored = sorted(
+        (
+            (round(cab * n_orders / (item[a] * item[c]), 6), a, c, cab)
+            for (a, c), cab in pairs.items()
+            if cab >= 2
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:15]
+    assert len(out) == len(scored)
+    for row, (lift, a, c, cab) in zip(out.itertuples(index=False), scored):
+        assert (row.pa, row.pb, row.pair_count) == (a, c, cab)
+        assert abs(row.lift - lift) < 1e-6

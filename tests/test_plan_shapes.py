@@ -38,6 +38,8 @@ NLJ_ALLOWED = {
     "knn_ivf_sq8_top10",
     # global-max anchor: BNLJ against a broadcast 1-row aggregate (q11 shape)
     "events_rfm_segments",
+    # n-orders normalizer: broadcast 1-row aggregate cross (q11 shape)
+    "orders_basket_lift",
 }
 
 FACT_QUERIES = [
@@ -144,6 +146,7 @@ FACT_QUERIES = [
     "orders_mom_growth",
     "orders_gini_revenue",
     "events_autocorr_lag1",
+    "events_changepoint_binary",
 ]
 
 

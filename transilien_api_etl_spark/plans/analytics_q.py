@@ -847,3 +847,145 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", F.round(num / den, 6).alias("r1"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_changepoint_binary",
+    doc="Binary change-point detection per user (SURVEY §3 W4 — the "
+    "offline CUSUM/binary-segmentation first step): for every split "
+    "position k, score = |mean(x₁..k) − mean(xₖ₊₁..n)|·√(k(n−k)/n); "
+    "the prefix sums Sₖ are exact cent integers via a running DECIMAL "
+    "window, so every score is a deterministic double and the argmax "
+    "(score desc, k asc) is engine-stable. One shuffle + one sorted "
+    "window; scores ride the prefix rows, no per-split rescan.",
+    tags=("events", "analytics", "changepoint", "window"),
+    oracle="""
+WITH x AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS xc,
+         row_number() OVER w AS k, count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sk,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+              (PARTITION BY user_id) AS DOUBLE) AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sc AS (
+  SELECT user_id, k, n,
+         round(abs(sk / k - (st - sk) / (n - k))
+               * sqrt(CAST(k AS DOUBLE) * (n - k) / n) / 100, 6) AS score
+  FROM x WHERE k < n AND n >= 20),
+best AS (
+  SELECT user_id, k AS split_k, CAST(n AS BIGINT) AS n, score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, k) AS rn
+  FROM sc)
+SELECT user_id, CAST(split_k AS BIGINT) AS split_k, n, score
+FROM best WHERE rn = 1 ORDER BY user_id
+""",
+)
+def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    x = e.select(
+        "user_id",
+        F.row_number().over(w).alias("k"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum(xc.cast("decimal(38,0)")).over(wrun).cast("double").alias("sk"),
+        F.sum(xc.cast("decimal(38,0)")).over(wp).cast("double").alias("st"),
+    )
+    k, n, sk, st = F.col("k"), F.col("n"), F.col("sk"), F.col("st")
+    score = F.round(
+        F.abs(sk / k - (st - sk) / (n - k))
+        * F.sqrt(k.cast("double") * (n - k) / n)
+        / 100,
+        6,
+    )
+    sc = x.filter((k < n) & (n >= 20)).select(
+        "user_id", "k", "n", score.alias("score")
+    )
+    best = sc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("score"), "k")
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("k").cast("long").alias("split_k"),
+            F.col("n").cast("long").alias("n"),
+            "score",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "orders_basket_lift",
+    doc="Market-basket association rules over order line items (SURVEY §3 "
+    "F10-adjacent — frequent-itemset mining): distinct parts per order "
+    "form baskets; pair support comes from the oriented (a<b) self-join "
+    "on the order key — fan-out bounded by Σ basket_size², the SemDeDup "
+    "argument, never corpus²; lift = P(ab)/(P(a)P(b)) from exact counts "
+    "with broadcast item-support joins. Top-15 pairs by lift (support "
+    "floor 2 — the part space is wide relative to basket size, so a "
+    "repeated pair is already signal), deterministic tie-break.",
+    tags=("orders", "analytics", "basket", "association"),
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nord AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+item AS (
+  SELECT l_partkey, count(*) AS c FROM b GROUP BY l_partkey),
+pair AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS cab
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+   AND y.l_partkey > x.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pair.pa, pair.pb, CAST(pair.cab AS BIGINT) AS pair_count,
+       round(pair.cab * CAST(nord.n AS DOUBLE) / (ia.c * CAST(ib.c AS DOUBLE)), 6)
+         AS lift
+FROM pair JOIN item ia ON pair.pa = ia.l_partkey
+          JOIN item ib ON pair.pb = ib.l_partkey, nord
+ORDER BY lift DESC, pa, pb LIMIT 15
+""",
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    b = l.select("l_orderkey", "l_partkey").distinct()
+    nord = b.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("y.l_partkey") > F.col("x.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    lift = F.round(
+        F.col("cab") * F.col("n").cast("double") / (F.col("ca") * F.col("cb").cast("double")),
+        6,
+    )
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nord))
+        .select("pa", "pb", F.col("cab").alias("pair_count"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(15)
+    )
