@@ -396,3 +396,23 @@ def test_basket_lift_matches_counter_recompute(spark):
     for row, (lift, a, c, cab) in zip(out.itertuples(index=False), scored):
         assert (row.pa, row.pb, row.pair_count) == (a, c, cab)
         assert abs(row.lift - lift) < 1e-6
+
+
+def test_kaplan_meier_invariants(spark):
+    out = REGISTRY["events_kaplan_meier"].fn(spark, SF).toPandas()
+    assert len(out) > 0
+    # survival is a non-increasing step function in (0, 1]
+    assert (out["survival"] > 0).all() and (out["survival"] <= 1.0).all()
+    assert (out["survival"].diff().dropna() <= 1e-9).all()
+    # at-risk counts shrink as duration grows; events never exceed risk set
+    assert (out["n_risk"].diff().dropna() < 0).all()
+    assert (out["n_churned"] if "n_churned" in out else out["n_completed"]).le(
+        out["n_risk"]
+    ).all()
+    # product form: S(t_i) == S(t_{i-1}) * (1 - d_i / n_i)
+    import numpy as np
+
+    d = out["n_completed"].to_numpy(dtype=float)
+    n = out["n_risk"].to_numpy(dtype=float)
+    expect = np.cumprod(1 - d / n)
+    assert np.allclose(out["survival"], expect, atol=1e-5)

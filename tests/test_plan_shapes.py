@@ -40,6 +40,8 @@ NLJ_ALLOWED = {
     "events_rfm_segments",
     # n-orders normalizer: broadcast 1-row aggregate cross (q11 shape)
     "orders_basket_lift",
+    # corpus-end anchor: broadcast 1-row aggregate cross (q11 shape)
+    "events_kaplan_meier",
 }
 
 FACT_QUERIES = [

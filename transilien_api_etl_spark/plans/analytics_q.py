@@ -989,3 +989,106 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "pa", "pb")
         .limit(15)
     )
+
+
+@register(
+    "events_kaplan_meier",
+    doc="Kaplan–Meier survival estimator over SESSION durations (SURVEY §3 "
+    "W4/A1 — duration analysis the way survival statistics does it): "
+    "sessions come from the standard 30-min-gap sessionizer; a session "
+    "ending within 30 min of the corpus end is right-CENSORED (it was "
+    "still alive when observation stopped — it counts in the at-risk "
+    "set but not as a completion event). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), "
+    "computed as exp of a RUNNING sum of logs over the ordered duration "
+    "table — the running frame evaluates sequentially in sort order on "
+    "both engines, so the float fold is deterministic; counts are exact "
+    "integers. Windows run on distinct-duration rows, not events.",
+    tags=("events", "analytics", "survival", "window"),
+    oracle="""
+WITH anchor AS (SELECT max(ts) AS maxts FROM events),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid, ts
+  FROM g),
+u AS (
+  SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS BIGINT)
+           AS duration_min,
+         max(ts) < (SELECT maxts FROM anchor) - INTERVAL 30 MINUTE AS completed
+  FROM sess GROUP BY user_id, sid),
+t AS (
+  SELECT duration_min,
+         CAST(count(*) FILTER (WHERE completed) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM u GROUP BY duration_min),
+r AS (
+  SELECT duration_min, d,
+         CAST(sum(leaving) OVER (ORDER BY duration_min DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM t),
+s AS (
+  SELECT duration_min, d, n_risk,
+         round(exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk))
+                   OVER (ORDER BY duration_min ROWS UNBOUNDED PRECEDING)), 6)
+           AS survival
+  FROM r WHERE d > 0 AND n_risk > d)
+SELECT duration_min, d AS n_completed, n_risk, survival
+FROM s ORDER BY duration_min
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transilien_api_etl_spark.operators.sessionize import sessionize
+
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("maxts"))
+    sess = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    u = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            ((F.unix_micros("end_ts") - F.unix_micros("start_ts")) / 60000000)
+            .cast("long")
+            .alias("duration_min"),
+            (F.col("end_ts") < F.col("maxts") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "completed"
+            ),
+        )
+    )
+    t = u.groupBy("duration_min").agg(
+        F.count(F.when(F.col("completed"), 1)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("duration_min")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = t.select(
+        "duration_min", "d", F.sum("leaving").over(w_desc).cast("long").alias("n_risk")
+    )
+    w_asc = Window.orderBy("duration_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(F.log(1 - F.col("d").cast("double") / F.col("n_risk"))).over(w_asc)
+        ),
+        6,
+    )
+    return (
+        r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+        .select(
+            "duration_min",
+            F.col("d").alias("n_completed"),
+            "n_risk",
+            surv.alias("survival"),
+        )
+        .orderBy("duration_min")
+    )
