@@ -376,8 +376,10 @@ _JACCARD_ORACLE = _REG["docs_shingle_jaccard"].oracle
     doc="Near-dup clustering (SURVEY §3 F10 — the keep-one step after "
     "candidate generation): connected components over the jaccard>=0.05 "
     "pair graph via iterative min-label propagation; each cluster reports "
-    "its canonical (min) doc and sorted member list. Oracle: recursive-CTE "
-    "transitive closure over the identical pair SQL.",
+    "its canonical (min) doc and sorted member list (comma-joined string so "
+    "the driver's pandas canonicalizer can sort/hash the cell — array cells "
+    "are unhashable there). Oracle: recursive-CTE transitive closure over "
+    "the identical pair SQL.",
     tags=("dedup", "text", "clustering"),
     oracle=f"""
 WITH RECURSIVE jac AS ({_JACCARD_ORACLE}),
@@ -392,7 +394,7 @@ reach AS (
 lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
 SELECT cluster AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM lbl GROUP BY cluster ORDER BY cluster_id
 """,
 )
@@ -404,7 +406,13 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("cluster").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .orderBy("cluster_id")
     )
