@@ -54,3 +54,46 @@ def test_expansion_crosses_midnight_with_gtfs_clocks(spark):
     df = spark.createDataFrame([(d,) for d in deps], "clock string")
     secs = [r[0] for r in df.select(gtfs_clock_seconds(F.col("clock"))).collect()]
     assert secs == [85800, 86700]
+
+
+def test_multi_window_trip_gets_unique_instance_ids(spark):
+    """ADVICE r2: a trip with several frequencies windows (peak + off-peak
+    headways — standard GTFS) must NOT reuse instance numbers across
+    windows. Instance k continues across windows ordered by start_s, so
+    every concrete departure keeps a unique trip_id for downstream joins."""
+    st = spark.createDataFrame(
+        [
+            ("T1", "06:00:00", "06:00:00", "A", 1),
+            ("T1", "06:07:00", "06:08:00", "B", 2),
+        ],
+        ST_SCHEMA,
+    )
+    fq = spark.createDataFrame(
+        [
+            # 06:00-06:30 @10min -> instances 0,1,2 (06:00, 06:10, 06:20)
+            ("T1", "06:00:00", "06:30:00", 600, 1),
+            # 09:00-10:00 @30min -> instances 3,4 (09:00, 09:30)
+            ("T1", "09:00:00", "10:00:00", 1800, 1),
+        ],
+        FQ_SCHEMA,
+    )
+    out = expand_frequencies(st, fq).collect()
+    first_stop_deps = {
+        r["trip_id"]: r["departure_time"] for r in out if r["stop_sequence"] == 1
+    }
+    assert first_stop_deps == {
+        "T1#0": "06:00:00",
+        "T1#1": "06:10:00",
+        "T1#2": "06:20:00",
+        "T1#3": "09:00:00",
+        "T1#4": "09:30:00",
+    }
+    # unique-trip-instance contract: no collisions anywhere in the fan-out
+    ids = [(r["trip_id"], r["stop_sequence"]) for r in out]
+    assert len(ids) == len(set(ids))
+    # template shift applies within every window (stop B rides along)
+    by_trip = {}
+    for r in out:
+        by_trip.setdefault(r["trip_id"], {})[r["stop_sequence"]] = r
+    assert by_trip["T1#4"][2]["departure_time"] == "09:38:00"
+    assert by_trip["T1#4"][2]["arrival_time"] == "09:37:00"

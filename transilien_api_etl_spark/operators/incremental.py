@@ -7,12 +7,17 @@ stored aggregate table:
 
     stored[k] ⊕ delta[k]   for additive measures (count, sum)
 
-with REPLAY PROTECTION: the stored table carries the last applied
-batch_id, and a batch whose id is ≤ the stored maximum is a no-op —
-foreachBatch re-delivers the same (batch_id, data) after a crash, so
-additive merges are only exactly-once if re-application is idempotent.
-This is the same ledger trick a Delta/transactional sink uses, done with
-plain parquet + dynamic partition overwrite.
+with REPLAY PROTECTION and CRASH ATOMICITY: each merge writes a fresh
+versioned subdirectory ``v=<batch_id>`` and then atomically repoints a
+``_CURRENT`` manifest (temp file + ``os.rename``, atomic on POSIX; the
+object-store deployment would use the store's atomic primitive — S3
+conditional PUT, HDFS rename). The manifest records the last applied
+batch_id, so a batch whose id is ≤ it is a no-op — foreachBatch
+re-delivers the same (batch_id, data) after a crash. A crash BEFORE the
+repoint leaves the previous version live (the half-written ``v=`` dir is
+overwritten by the replay); a crash AFTER the repoint makes the replay a
+no-op. This is the same version-and-swap trick a Delta/transactional
+sink's log commit performs, done with plain parquet + one manifest file.
 
 Scale posture: the micro-batch side aggregates BEFORE the merge (delta is
 |keys touched this batch| rows, not |events|); the stored side is read
@@ -21,6 +26,9 @@ bounded by the batch's key footprint, never the table size.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,10 +45,10 @@ def merge_additive_agg(
     """Fold one micro-batch into the stored additive aggregate at ``path``.
 
     ``sum_cols`` maps input column → stored sum column. The stored schema is
-    keys + count + sums + ``_last_batch``.
+    keys + count + sums + ``_last_batch``; data lives in ``path/v=<batch>``
+    with ``path/_CURRENT`` naming the live version (see module docstring
+    for the crash-atomicity contract).
     """
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     sum_cols = sum_cols or {}
 
@@ -51,12 +59,12 @@ def merge_additive_agg(
         "_last_batch", F.lit(batch_id).cast("long")
     )
 
-    try:
-        stored = spark.read.parquet(path)
-        applied = stored.agg(F.max("_last_batch")).first()[0]
-        if applied is not None and batch_id <= applied:
+    current = _read_manifest(path)
+    if current is not None:
+        applied, live_dir = current
+        if batch_id <= applied:
             return  # replayed batch: already folded in, must be a no-op
-        stored = stored.localCheckpoint(eager=True)  # safe read-back overwrite
+        stored = spark.read.parquet(f"{path}/{live_dir}")
         measures = [count_col, *sum_cols.values()]
         merged = (
             stored.unionByName(delta)
@@ -66,13 +74,55 @@ def merge_additive_agg(
                 F.max("_last_batch").alias("_last_batch"),
             )
         )
-    except AnalysisException:  # first batch: the delta IS the aggregate
+    else:  # first batch: the delta IS the aggregate
+        live_dir = None
         merged = delta
-    merged.write.mode("overwrite").parquet(path)
+
+    new_dir = f"v={batch_id}"
+    # A fresh directory: overwriting it only ever clobbers a half-written
+    # attempt of THIS batch left by a crash — the live version is untouched
+    # until the manifest swap below.
+    merged.write.mode("overwrite").parquet(f"{path}/{new_dir}")
+    _swap_manifest(path, batch_id, new_dir, keep={new_dir, live_dir})
+
+
+def _manifest_file(path: str) -> str:
+    return os.path.join(path, "_CURRENT")
+
+
+def _read_manifest(path: str) -> tuple[int, str] | None:
+    """(last applied batch_id, live version dir), or None before batch 1."""
+    try:
+        with open(_manifest_file(path), encoding="utf-8") as fh:
+            batch_s, ver_dir = fh.read().split("\n")[:2]
+        return int(batch_s), ver_dir
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _swap_manifest(
+    path: str, batch_id: int, ver_dir: str, keep: set[str | None]
+) -> None:
+    """Atomically repoint ``_CURRENT`` and prune superseded version dirs.
+
+    The previous live version is kept (``keep``) so a reader that resolved
+    the manifest just before the swap can still finish its scan; versions
+    older than that are best-effort deleted.
+    """
+    tmp = _manifest_file(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"{batch_id}\n{ver_dir}\n")
+    os.rename(tmp, _manifest_file(path))  # atomic on POSIX
+    for entry in os.listdir(path):
+        if entry.startswith("v=") and entry not in keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def read_additive_agg(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_last_batch")
+    current = _read_manifest(path)
+    if current is None:
+        raise FileNotFoundError(f"no committed aggregate under {path}")
+    return spark.read.parquet(f"{path}/{current[1]}").drop("_last_batch")
 
 
 def merge_seen_dedup(

