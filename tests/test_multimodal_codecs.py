@@ -51,3 +51,40 @@ def test_distributed_encode_decode_chain(spark):
     assert (aud["framerate"] == 8000).all()
     assert (aud["n_bytes"] == 44 + 2 * (aud["doc_id"] % 50 + 10)).all()
     assert aud[["width", "height", "mean_r"]].isna().all().all()
+
+
+def test_decode_payloads_dispatcher_refuses_then_stubs(spark):
+    """VERDICT r2 task 8: the public decode entry point must route real
+    codecs unconditionally, REFUSE undecodable mimes at plan time, and
+    reach the stub only via explicit allow_stub=True."""
+    import pytest
+
+    from transilien_api_etl_spark.operators.multimodal import (
+        decode_payloads,
+        encode_synthetic_media,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = encode_synthetic_media(ids)
+
+    # real codecs: decoded end-to-end, no stub involved
+    out = decode_payloads(media).orderBy("doc_id").collect()
+    assert len(out) == 8
+    assert {r["modality"] for r in out} == {"image", "audio"}
+
+    # an undecodable mime refuses loudly at plan-construction time
+    from pyspark.sql import functions as F
+
+    weird = media.withColumn(
+        "mime",
+        F.when(F.col("doc_id") == 0, F.lit("video/mp4")).otherwise(F.col("mime")),
+    )
+    with pytest.raises(ValueError, match="video/mp4"):
+        decode_payloads(weird)
+
+    # ... and decodes as 'stub' only under the explicit opt-in
+    mixed = decode_payloads(weird, allow_stub=True).collect()
+    by_id = {r["doc_id"]: r for r in mixed}
+    assert by_id[0]["modality"] == "stub"
+    assert by_id[0]["mean_r"] is None and by_id[0]["width"] is not None
+    assert by_id[2]["modality"] == "image" and by_id[1]["modality"] == "audio"

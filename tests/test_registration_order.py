@@ -57,5 +57,5 @@ def test_next_window_queues_remaining_unchecked():
         overlap = [q for q in _NEXT_WINDOW if q in prior]
         assert overlap == [], overlap
     # window + queue + previously-checked == the whole registry
-    assert len(set(_DRIVER_WINDOW) | set(_NEXT_WINDOW)) == 89
-    assert len(REGISTRY) >= 188
+    assert len(set(_DRIVER_WINDOW) | set(_NEXT_WINDOW)) == 92
+    assert len(REGISTRY) >= 191

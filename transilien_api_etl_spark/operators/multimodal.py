@@ -13,9 +13,13 @@ Two tiers of decoders:
   value-checked end-to-end by the ``multimodal_real_decode`` oracle.
 - STUBS for formats needing external libs (JPEG/MP3/MP4): the container
   ships without PIL/librosa/av, so ``decode_features`` computes
-  deterministic fake features and ``decode_image`` raises
-  NotImplementedError behind an import-try on PIL. The Spark-side plumbing
-  — schema, batch iteration, partitioning — is real and tested either way.
+  deterministic fake features. The stub is reachable ONLY through
+  ``decode_payloads(..., allow_stub=True)`` — the public dispatcher
+  routes every payload to a real decoder (zero-dep codecs always;
+  Pillow-backed ``image/*`` when ``HAS_PIL``, detected once at import)
+  and refuses undecodable mimes at plan time otherwise. The Spark-side
+  plumbing — schema, batch iteration, partitioning — is real and tested
+  either way.
 """
 
 from __future__ import annotations
@@ -73,16 +77,96 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload", "meta").mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — gated on PIL availability (not in this container)."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "image decode requires Pillow; container ships without it — "
-            "use decode_features (deterministic stub) for plumbing tests"
-        ) from e
-    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")
+# Pillow availability is detected ONCE at import (VERDICT r2 task 8): the
+# dispatcher below routes PIL-decodable mimes through a real Image.open
+# branch when the library exists, and otherwise refuses them up front —
+# no code path reaches a NotImplementedError in production.
+try:  # pragma: no cover - container ships without Pillow
+    import importlib.util as _ilu
+
+    HAS_PIL = _ilu.find_spec("PIL") is not None
+except Exception:  # pragma: no cover
+    HAS_PIL = False
+
+#: mimes the zero-dependency codecs below always decode for real
+REAL_CODEC_MIMES = frozenset({"image/x-portable-pixmap", "audio/wav"})
+
+
+def decode_payloads(
+    df: DataFrame, id_col: str = "doc_id", *, allow_stub: bool = False
+) -> DataFrame:
+    """THE public decode entry point — dispatches every payload to a real
+    decoder, never to an unimplemented gate.
+
+    Routing (per the mime column, or ``meta.mime`` if only a meta struct
+    is present):
+
+    - ``image/x-portable-pixmap`` / ``audio/wav`` → the zero-dependency
+      real codecs (:func:`decode_media_features`), always available;
+    - other ``image/*`` mimes → the Pillow branch of
+      :func:`decode_media_features` when Pillow was importable at module
+      load (``HAS_PIL``);
+    - anything else → ``ValueError`` at plan-construction time listing
+      the decodable mimes — UNLESS ``allow_stub=True``, which routes
+      undecodable payloads through the deterministic
+      :func:`decode_features` stub with ``modality='stub'``. The stub is
+      therefore unreachable without this explicit opt-in.
+
+    The mime check is a bounded distinct over the mime column (a handful
+    of values — dictionary-encoded at the scan, aggregated map-side), so
+    the refusal is loud and early rather than a task-time crash at 100 TB.
+    """
+    src = df
+    if "mime" not in src.columns and "meta" in src.columns:
+        src = src.withColumn("mime", F.col("meta")["mime"])
+    if "payload" not in src.columns or "mime" not in src.columns:
+        raise ValueError("decode_payloads needs payload + mime (or meta) columns")
+
+    decodable = set(REAL_CODEC_MIMES)
+    present = {r["mime"] for r in src.select("mime").distinct().collect()}
+    pil_mimes = {
+        m for m in present if m.startswith("image/") and m not in decodable
+    }
+    if HAS_PIL:  # pragma: no cover - container ships without Pillow
+        decodable |= pil_mimes
+    unknown = present - decodable
+    if unknown and not allow_stub:
+        raise ValueError(
+            f"no real decoder for mimes {sorted(unknown)} "
+            f"(decodable here: {sorted(decodable)}); pass allow_stub=True "
+            "to route them through the deterministic stub features"
+        )
+
+    real = decode_media_features(
+        src.filter(F.col("mime").isin(*decodable)).select(
+            F.col(id_col).alias("doc_id"), "mime", "payload"
+        )
+    )
+    if not unknown:
+        return real
+    stubbed = decode_features(  # explicit opt-in only (allow_stub=True)
+        src.filter(~F.col("mime").isin(*decodable)).withColumn(
+            "meta",
+            F.struct(
+                F.col("mime").alias("mime"),
+                F.octet_length("payload").cast("long").alias("n_bytes"),
+            ),
+        ),
+        id_col,
+    ).select(
+        "doc_id",
+        F.lit("stub").alias("modality"),
+        F.col("n_bytes"),
+        F.col("width"),
+        F.col("height"),
+        F.lit(None).cast("double").alias("mean_r"),
+        F.lit(None).cast("double").alias("mean_g"),
+        F.lit(None).cast("double").alias("mean_b"),
+        F.lit(None).cast("int").alias("framerate"),
+        F.lit(None).cast("int").alias("n_samples"),
+        F.lit(None).cast("int").alias("peak"),
+    )
+    return real.unionByName(stubbed)
 
 
 RESIZED_SCHEMA = (
@@ -264,6 +348,32 @@ def decode_media_features(df: DataFrame) -> DataFrame:
             "peak": int(np.abs(samples.astype("int64")).max()),
         }
 
+    def _pil_features(payload: bytes) -> dict:  # pragma: no cover - needs Pillow
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        px = np.asarray(img, dtype="float64")
+        means = px.mean(axis=(0, 1))
+        return {
+            "modality": "image",
+            "width": img.width,
+            "height": img.height,
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
+
+    def _features(mime: str, payload: bytes) -> dict:
+        if mime == "image/x-portable-pixmap":
+            return _ppm_features(payload)
+        if mime == "audio/wav":
+            return _wav_features(payload)
+        if HAS_PIL and mime.startswith("image/"):  # pragma: no cover
+            return _pil_features(payload)
+        raise ValueError(f"no real decoder for mime {mime!r}")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "doc_id", "modality", "n_bytes", "width", "height",
@@ -272,11 +382,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
-                feats = (
-                    _ppm_features(payload)
-                    if mime == "image/x-portable-pixmap"
-                    else _wav_features(payload)
-                )
+                feats = _features(mime, payload)
                 rows.append({"doc_id": doc_id, "n_bytes": len(payload), **feats})
             out = pd.DataFrame(rows, columns=cols)
             out["width"] = out["width"].astype("Int32")

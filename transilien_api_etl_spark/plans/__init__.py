@@ -36,6 +36,7 @@ from transilien_api_etl_spark.plans import (  # noqa: F401  (import = registrati
     relational,
     relational_ext,
     functions_q,
+    twin_checks_q,
 )
 from transilien_api_etl_spark.plans.registry import (  # noqa: F401
     REGISTRY,
@@ -145,6 +146,11 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "fn_try_arithmetic",
     "fn_explode_outer_terms",
     "fn_array_setops",
+    # round-3 additions: hash-checked twins of the rows-only sketch/LSH
+    # queries (plans/twin_checks_q.py) — never driver-checked, queued next
+    "sketch_cms_error_bounds",
+    "docs_minhash_recall",
+    "udf_simhash_separation",
 )
 
 

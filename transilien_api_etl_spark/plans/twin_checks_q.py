@@ -1,0 +1,158 @@
+"""Hash-checked twin comparisons for the rows-only sketch/LSH queries
+(VERDICT r2 task 6).
+
+`sketch_heavy_hitters_cms`, `docs_minhash_candidates` and `udf_simhash`
+cannot carry a DuckDB oracle themselves — their hashing (xxhash64, seeded
+minhash permutations, simhash bit votes) is not reproducible in SQL — so
+the driver records only a weak rows-only check for them. The exact-twin
+comparisons proven as pytest properties (tests/test_sketches.py,
+tests/test_lsh_recall.py) are registered HERE as queries whose outputs
+are deterministic and SQL-predictable: the oracle computes the exact side
+(token counts, strong-pair counts) in DuckDB and states the property
+flags as literals, so a broken sketch/LSH implementation flips a Spark
+boolean (or count) and fails the driver's hash compare — a genuine
+cross-engine value check of the approximate operator's guarantees.
+
+Scale posture: each check reuses its production query's plan (bounded
+sketch state, banded LSH joins, df-capped pair joins) plus one small
+aggregate — nothing quadratic, nothing driver-side beyond 1-row results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.functions.text import tokenize
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.plans.registry import REGISTRY as _REG
+from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.session import ensure_query_confs
+
+_JACCARD_ORACLE = _REG["docs_shingle_jaccard"].oracle
+
+
+@register(
+    "sketch_cms_error_bounds",
+    doc="CMS guarantee check, hash-verified (SURVEY §3 A2/sketches): joins "
+    "the CMS heavy-hitter estimates against the exact token counts and "
+    "emits (distinct-token count, #undercounts, #over-bound). CMS never "
+    "undercounts by construction; overcount beyond 4·N/W (loose form of "
+    "the Cormode-Muthukrishnan ε-bound, W=512) indicates a broken bucket "
+    "hash. The oracle computes n_tokens exactly and states the zero "
+    "violation counts — any CMS bug flips a Spark-side count and fails "
+    "the hash compare.",
+    tags=("sketch", "approx", "twin-check"),
+    oracle="""
+SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_undercount,
+       CAST(0 AS BIGINT) AS n_over_bound
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+""",
+)
+def sketch_cms_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from transilien_api_etl_spark.plans.sketches_q import CMS_WIDTH
+
+    est = _REG["sketch_heavy_hitters_cms"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("true_count").alias("n_total"),
+    )
+    joined = est.join(exact, "tok").crossJoin(F.broadcast(totals))
+    return joined.agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.when(F.col("est_count") < F.col("true_count"), 1)).alias(
+            "n_undercount"
+        ),
+        F.count(
+            F.when(
+                F.col("est_count")
+                > F.col("true_count") + 4.0 * F.col("n_total") / CMS_WIDTH,
+                1,
+            )
+        ).alias("n_over_bound"),
+    )
+
+
+@register(
+    "docs_minhash_recall",
+    doc="MinHash-LSH recall check, hash-verified (SURVEY §3 F10): the "
+    "banded MinHash candidate pairs must recover ≥80% of the strong "
+    "(exact Jaccard ≥ 0.4) near-dup pairs. n_true_pairs is SQL-exact "
+    "(same pair CTE as docs_shingle_jaccard's oracle); recall_ok is the "
+    "integer-arithmetic check 5·hits ≥ 4·truth, stated TRUE by the "
+    "oracle — dropped LSH bands or broken seeding flips it.",
+    tags=("dedup", "text", "twin-check"),
+    oracle=f"""
+WITH jac AS ({_JACCARD_ORACLE})
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+FROM jac WHERE jaccard >= 0.4
+""",
+)
+def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    strong = (
+        _REG["docs_shingle_jaccard"]
+        .fn(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    cands = (
+        _REG["docs_minhash_candidates"]
+        .fn(spark, sf_dir)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.lit(1).alias("hit"),
+        )
+        .distinct()
+    )
+    return strong.join(cands, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        (
+            F.lit(5) * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            >= F.lit(4) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "udf_simhash_separation",
+    doc="SimHash fidelity check, hash-verified (SURVEY §3 F10/X1): over "
+    "the exact candidate-pair graph, the mean 64-bit Hamming distance of "
+    "strong pairs (Jaccard ≥ 0.4) must sit at least 4 bits below the "
+    "mean of weak pairs (Jaccard < 0.15) — the monotone "
+    "hamming-vs-jaccard relationship SimHash promises. Pair counts are "
+    "SQL-exact; the separation flag is stated TRUE by the oracle, so a "
+    "corrupted bit-vote kernel fails the hash compare.",
+    tags=("dedup", "udf", "twin-check"),
+    oracle=f"""
+WITH jac AS ({_JACCARD_ORACLE})
+SELECT CAST(count(CASE WHEN jaccard >= 0.4 THEN 1 END) AS BIGINT) AS n_near,
+       CAST(count(CASE WHEN jaccard < 0.15 THEN 1 END) AS BIGINT) AS n_far,
+       TRUE AS sep_ok
+FROM jac
+""",
+)
+def udf_simhash_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    pairs = _REG["docs_shingle_jaccard"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sh = _REG["udf_simhash"].fn(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    pj = pairs.join(a, "doc_a").join(b, "doc_b").withColumn("ham", ham)
+    return pj.agg(
+        F.count(F.when(F.col("jaccard") >= 0.4, 1)).alias("n_near"),
+        F.count(F.when(F.col("jaccard") < 0.15, 1)).alias("n_far"),
+        (
+            F.avg(F.when(F.col("jaccard") >= 0.4, F.col("ham"))) + F.lit(4.0)
+            <= F.avg(F.when(F.col("jaccard") < 0.15, F.col("ham")))
+        ).alias("sep_ok"),
+    )
