@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.functions.vectors import (
     cosine_from_norms,
+    cosine_scores_arrow,
     cosine_similarity,
     dot,
     l2_norm,
@@ -73,21 +74,26 @@ LIMIT 10
 def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    # query norm folds ONCE on the broadcast side; per-corpus-row work is a
-    # dot fold + own-norm fold, not three folds
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("qn")
-    )
-    cos = F.round(
-        cosine_from_norms(
-            F.col("embedding"), F.col("qv"), l2_norm(F.col("embedding")), F.col("qn")
-        ),
-        8,
-    )
+    # Kernel choice (round-3 re-A/B at 1 M×64, local[32] warm): the
+    # Arrow-batched numpy scan (functions/vectors.cosine_scores_arrow)
+    # measured 0.68 s vs 1.41 s for the broadcast-query HOF fold, with
+    # EXACT-bit-identical scores (same sequential fold order over the
+    # flattened values buffer). Round 2's matmul-style arrow kernel had
+    # measured SLOWER (1.39 s vs 1.26 s) — the flattened-buffer +
+    # sequential-accumulation form is what wins; see BASELINE.md.
+    # Map-only into TakeOrderedAndProject; query vector is dim doubles
+    # in the task closure.
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qn = 0.0
+    for x in qvec:  # same sequential fold as l2_norm
+        qn += x * x
+    qn = qn ** 0.5
+    scored = cosine_scores_arrow(emb.filter(F.col("vec_id") != 0), qvec, qn)
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cos.alias("cos_sim"))
+        scored.select("vec_id", F.round("cos_sim", 8).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
