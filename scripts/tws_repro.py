@@ -47,12 +47,21 @@ q = (src.groupBy("id").transformWithStateInPandas(
      .writeStream.format("memory").queryName("tws_out").outputMode("update")
      .trigger(processingTime="1 second").start())
 try:
-    q.processAllAvailable() if False else None
     import time; time.sleep(12)
     rows = spark.sql("SELECT * FROM tws_out").collect()
     print("ROWS:", sorted((r.id, r.mx) for r in rows)[:10], "n=", len(rows))
+    # The failure mode here is a STREAMING-THREAD crash: the main thread
+    # sees no exception and the memory sink just stays empty, so ask the
+    # query itself (a bare empty-ROWS + TWS_OK would be a false pass).
+    exc = q.exception()
     q.stop()
-    print("TWS_OK")
+    if exc is not None:
+        print("STREAM EXCEPTION:", str(exc)[:500])
+        print("TWS_CRASH")
+    elif not rows:
+        print("TWS_CRASH (no exception surfaced but the sink stayed empty)")
+    else:
+        print("TWS_OK")
 except Exception:
     traceback.print_exc()
     print("TWS_CRASH")
