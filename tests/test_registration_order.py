@@ -61,8 +61,8 @@ def test_priority_lists_are_well_formed():
     assert len(set(names)) == len(names)
     missing = [n for n in names if n not in REGISTRY]
     assert missing == [], missing
-    assert len(set(names)) == 92
-    assert len(REGISTRY) >= 191
+    assert len(set(names)) == 95
+    assert len(REGISTRY) >= 193
 
 
 def test_window_is_fully_oracle_backed():

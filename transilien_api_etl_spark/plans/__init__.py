@@ -153,6 +153,11 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sketch_cms_error_bounds",
     "docs_minhash_recall",
     "udf_simhash_separation",
+    "docs_fingerprint_integrity",
+    "lsh_ann_recall",
+    # gained a DuckDB oracle in round 3 (pure-ASCII corpus makes the stub
+    # features SQL-exact) — its r2 record was no_oracle, so re-window it
+    "multimodal_decode_features",
 )
 
 

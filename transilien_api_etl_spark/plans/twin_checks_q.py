@@ -156,3 +156,89 @@ def udf_simhash_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.avg(F.when(F.col("jaccard") < 0.15, F.col("ham")))
         ).alias("sep_ok"),
     )
+
+
+@register(
+    "docs_fingerprint_integrity",
+    doc="Rolling-hash fingerprint integrity, hash-verified (SURVEY §3 F9): "
+    "byte-identical documents MUST share a fingerprint (determinism over "
+    "the whole Spark plan — tokenize, xxhash64, modular fold), and "
+    "distinct texts must not collide on this corpus. Duplicate-text "
+    "group/pair counts are SQL-exact; the oracle states both flags TRUE, "
+    "so a nondeterministic or collapsed hash fails the driver's compare.",
+    tags=("text", "twin-check"),
+    oracle="""
+WITH dup AS (
+  SELECT text, count(*) AS n FROM documents GROUP BY text HAVING count(*) > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_text_groups,
+       CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_dup_pairs,
+       TRUE AS dups_share_fingerprint,
+       TRUE AS no_collisions
+FROM dup
+""",
+)
+def docs_fingerprint_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    fp = _REG["docs_fingerprint"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").join(fp, "doc_id")
+    per_text = d.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("fingerprint").alias("n_fp"),
+    )
+    dup = per_text.filter(F.col("n") > 1)
+    dup_stats = dup.agg(
+        F.count(F.lit(1)).alias("n_dup_text_groups"),
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+        ).cast("long").alias("n_dup_pairs"),
+        F.coalesce(F.max(F.col("n_fp")) == 1, F.lit(True)).alias(
+            "dups_share_fingerprint"
+        ),
+    )
+    distinct_stats = d.agg(
+        (
+            F.count_distinct("fingerprint") == F.count_distinct("text")
+        ).alias("no_collisions")
+    )
+    return dup_stats.crossJoin(distinct_stats)
+
+
+@register(
+    "lsh_ann_recall",
+    doc="Random-hyperplane LSH recall check, hash-verified (SURVEY §3 F8): "
+    "the 8-band×4-bit bucketed candidates must recover ≥50% of the "
+    "cos ≥ 0.5 pairs (OR-amplification predicts ≈0.83 at the decision "
+    "boundary). The truth set reuses the guarded quadratic exact-cosine "
+    "twin — correctness-scale only, like every oracle twin; the scale "
+    "path is the LSH query itself. n_true_pairs is SQL-exact; recall_ok "
+    "is integer arithmetic (2·hits ≥ truth), stated TRUE by the oracle.",
+    tags=("vectors", "lsh", "twin-check"),
+    oracle_twin=True,
+    oracle=f"""
+WITH pairs AS ({_REG["dedup_embedding_cosine"].oracle})
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+FROM pairs WHERE cos_sim >= 0.5
+""",
+)
+def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    truth = (
+        _REG["dedup_embedding_cosine"]
+        .fn(spark, sf_dir)
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    cands = (
+        _REG["lsh_ann_candidates"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.lit(1).alias("hit"))
+        .distinct()
+    )
+    return truth.join(cands, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        (
+            F.lit(2) * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )

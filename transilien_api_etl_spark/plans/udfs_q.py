@@ -218,8 +218,23 @@ def multimodal_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_features",
     doc="F11 decode/feature-extract over mapInPandas (Arrow batch iterator) — "
     "deterministic stub decoder (real image/audio libs absent by design; "
-    "plumbing is real). Rows-only check; determinism unit-tested.",
+    "plumbing is real). HASH-CHECKED since round 3: the corpus is pure "
+    "ASCII (verified), so the stub's width/height/byte-checksum are exact "
+    "SQL over char codes — the Arrow batch plumbing is value-verified "
+    "end-to-end even though the decoder is a stand-in.",
     tags=("multimodal", "udf"),
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+       CAST(coalesce(list_sum(list_transform(
+              range(1, length(text) + 1),
+              i -> ascii(substr(text, i, 1)))), 0)
+            % 2147483648 AS BIGINT) AS checksum
+FROM documents ORDER BY doc_id
+""",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
