@@ -79,12 +79,25 @@ def shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+def portable_token_hash(t: Column) -> Column:
+    """60-bit positive token hash both engines can compute identically:
+    the first 15 hex chars of md5, parsed base-16. DuckDB twin:
+    ``CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)`` — verified equal
+    including UTF-8 multibyte and empty strings."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def rolling_hash_fingerprint(text: Column, modulus: int = 2**31 - 1) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash over
-    tokens, folded JVM-side (aggregate). Base 1000003, Mersenne modulus."""
+    tokens, folded JVM-side (aggregate). Base 1000003, Mersenne modulus.
+    Token hash is the md5-based :func:`portable_token_hash` (round 3 —
+    was xxhash64, which DuckDB cannot reproduce), so the whole
+    fingerprint is SQL-exact and the registered query carries a direct
+    oracle instead of a rows-only check. Worst-case magnitude:
+    acc·1000003 + h%M < 2³¹·2²⁰ + 2³¹ ≪ 2⁶³ — no overflow either engine."""
     tokens = tokenize(text)
     return F.aggregate(
         tokens,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 1000003 + F.abs(F.xxhash64(t)) % modulus) % modulus,
+        lambda acc, t: (acc * 1000003 + portable_token_hash(t) % modulus) % modulus,
     )

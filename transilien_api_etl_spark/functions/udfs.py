@@ -31,12 +31,17 @@ def weighted_avg_pudf(value: pd.Series, weight: pd.Series) -> float:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token blake2b hashes (deterministic, stdlib)."""
+    """64-bit SimHash over token md5 hashes (deterministic, stdlib).
+
+    Round 3: the per-token hash is the FIRST 8 BYTES of md5, big-endian
+    (was blake2b-8) — md5 is the one digest DuckDB also ships, so the
+    oracle can replay the exact bit votes and the registered query is
+    hash-checked instead of rows-only."""
     import hashlib
 
     acc = [0] * 64
     for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
         for i in range(64):
             acc[i] += 1 if (h >> i) & 1 else -1
     v = 0

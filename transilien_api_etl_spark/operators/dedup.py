@@ -103,9 +103,17 @@ def minhash_signature_pairs(
             f"({band_size}); trailing signature slots would be silently "
             "dropped, lowering recall vs the configured width"
         )
+    from transilien_api_etl_spark.functions.text import portable_token_hash
+
     tok = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col)).alias("tok"))
+    # Seeded permutation hashes via the portable md5 form (round 3 — was
+    # seeded xxhash64): DuckDB computes the identical minima, so the whole
+    # candidate set is SQL-exact and the registered query is hash-checked.
     sig_aggs = [
-        F.min(F.xxhash64(F.col("tok"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)
+        F.min(portable_token_hash(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(
+            f"h{s}"
+        )
+        for s in range(num_hashes)
     ]
     sigs = tok.groupBy("id").agg(*sig_aggs)
     n_bands = num_hashes // band_size
@@ -114,7 +122,11 @@ def minhash_signature_pairs(
         cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
         bands.append(
             sigs.select(
-                "id", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")
+                "id",
+                F.lit(b).alias("band"),
+                # the bucket key is the band's slot tuple itself (joined to
+                # one string) — no second hash, trivially engine-portable
+                F.concat_ws(",", *cols).alias("bucket"),
             )
         )
     banded = bands[0]

@@ -33,8 +33,22 @@ TOP_K = 30
 
 
 def _bucket(col: F.Column, seed: int) -> F.Column:
-    """Row `seed`'s bucket for a token: xxhash64 seeded by position."""
-    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(CMS_WIDTH))
+    """Row `seed`'s bucket for a token: the portable md5-based hash of
+    '<seed>:<token>' mod W (round 3 — was seeded xxhash64, which DuckDB
+    cannot reproduce; the md5 form makes the WHOLE sketch SQL-exact)."""
+    from transilien_api_etl_spark.functions.text import portable_token_hash
+
+    return F.pmod(
+        portable_token_hash(F.concat(F.lit(f"{seed}:"), col)), F.lit(CMS_WIDTH)
+    )
+
+
+def _bucket_sql(tok_expr: str, seed_expr: str) -> str:
+    """DuckDB twin of ``_bucket`` for a token expression and seed expression."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || ':' || "
+        f"{tok_expr}), 1, 15)) AS BIGINT) % {CMS_WIDTH}"
+    )
 
 
 def cms_sketch(tokens: DataFrame, col: str = "tok") -> DataFrame:
@@ -57,15 +71,37 @@ def cms_sketch(tokens: DataFrame, col: str = "tok") -> DataFrame:
     )
 
 
+_CMS_SEEDS_SQL = "(VALUES " + ", ".join(f"({s})" for s in range(CMS_DEPTH)) + ") seeds(s)"
+
+
 @register(
     "sketch_heavy_hitters_cms",
     doc="Count-min-sketch heavy hitters: top-30 tokens by CMS-estimated "
-    "frequency (min over 4 seeded xxhash64 rows of 512 buckets). The "
+    "frequency (min over 4 seeded md5-bucket rows of 512 buckets). The "
     "sketch is 2048 rows and broadcasts into the estimate join; the "
     "distinct-token probe side is the only data-sized relation. Estimates "
     "are upper bounds by construction; tests/test_sketches.py asserts "
-    "est ≥ exact and bounded overcount against the exact twin.",
+    "est ≥ exact and bounded overcount against the exact twin. "
+    "HASH-CHECKED since round 3: the portable bucket hash lets DuckDB "
+    "rebuild the identical sketch and replay the min-over-rows estimate.",
     tags=("sketch", "text", "approx"),
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+sketch AS (
+  SELECT s, {_bucket_sql("tok", "s")} AS bucket, count(*) AS cnt
+  FROM tok, {_CMS_SEEDS_SQL}
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT tok FROM tok),
+est AS (
+  SELECT p.tok, min(sk.cnt) AS est_count
+  FROM probes p, {_CMS_SEEDS_SQL}
+  JOIN sketch sk
+    ON sk.s = seeds.s AND sk.bucket = {_bucket_sql("p.tok", "seeds.s")}
+  GROUP BY p.tok)
+SELECT tok, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, tok LIMIT {TOP_K}
+""",
 )
 def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)

@@ -279,12 +279,60 @@ def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _minhash_oracle_sql(
+    *, num_hashes: int, band_size: int, max_bucket_size: int
+) -> str:
+    """DuckDB twin of operators/dedup.minhash_signature_pairs over the
+    3-shingle tokens: identical seeded-md5 minima, identical comma-joined
+    band buckets, identical bucket-size cap, identical pair aggregation."""
+    n_bands = num_hashes // band_size
+    sig_cols = ", ".join(
+        "min(CAST(('0x' || substr(md5('" + f"{s}:" + "' || sh), 1, 15)) AS BIGINT))"
+        f" AS h{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(h{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        + " AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(s) - 2, 0)),
+           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))) AS sh
+  FROM tok
+), sigs AS (
+  SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+), banded AS ({band_selects}
+), capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+  ) WHERE bsz <= {max_bucket_size}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM capped a
+JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+
 @register(
     "docs_minhash_candidates",
-    doc="MinHash+LSH near-dup candidates (SURVEY §3 F10): 16 xxhash64 minima "
-    "→ 4 bands of 4 → band-bucket self-join. Pure built-ins, no UDF, no "
-    "quadratic pair scan. xxhash64 has no DuckDB twin → rows-only check.",
+    doc="MinHash+LSH near-dup candidates (SURVEY §3 F10): 16 seeded-md5 "
+    "minima → 4 bands of 4 → band-bucket self-join. Pure built-ins, no "
+    "UDF, no quadratic pair scan. HASH-CHECKED since round 3: the "
+    "portable permutation hash lets DuckDB rebuild the identical "
+    "signatures, bands, bucket-size cap, and candidate pairs.",
     tags=("dedup", "lsh"),
+    oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=1000),
 )
 def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
@@ -298,8 +346,23 @@ def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_fingerprint",
     doc="Rolling-hash document fingerprint (BASELINE mandate): polynomial "
-    "fold over tokens, JVM-side aggregate; xxhash64-based → rows-only check.",
+    "fold over tokens, JVM-side aggregate. HASH-CHECKED since round 3: "
+    "the token hash is the portable md5-based 60-bit form, so DuckDB "
+    "replays the exact fold with list_reduce (same base/modulus, same "
+    "left-to-right order).",
     tags=("text",),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN len(string_split(text, ' ')) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(
+                   list_transform(
+                     string_split(text, ' '),
+                     t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                          % 2147483647),
+                   (a, b) -> (a * 1000003 + b) % 2147483647)
+       END AS fingerprint
+FROM documents ORDER BY doc_id
+""",
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)

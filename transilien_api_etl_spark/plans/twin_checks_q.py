@@ -1,17 +1,21 @@
-"""Hash-checked twin comparisons for the rows-only sketch/LSH queries
+"""Hash-checked twin comparisons for the approximate operators
 (VERDICT r2 task 6).
 
-`sketch_heavy_hitters_cms`, `docs_minhash_candidates` and `udf_simhash`
-cannot carry a DuckDB oracle themselves — their hashing (xxhash64, seeded
-minhash permutations, simhash bit votes) is not reproducible in SQL — so
-the driver records only a weak rows-only check for them. The exact-twin
-comparisons proven as pytest properties (tests/test_sketches.py,
-tests/test_lsh_recall.py) are registered HERE as queries whose outputs
-are deterministic and SQL-predictable: the oracle computes the exact side
-(token counts, strong-pair counts) in DuckDB and states the property
-flags as literals, so a broken sketch/LSH implementation flips a Spark
-boolean (or count) and fails the driver's hash compare — a genuine
-cross-engine value check of the approximate operator's guarantees.
+These queries register the exact-twin comparisons proven as pytest
+properties (tests/test_sketches.py, tests/test_lsh_recall.py) as
+driver-checkable queries: the oracle computes the exact side (token
+counts, strong-pair counts) in DuckDB and states the property flags as
+literals, so a broken sketch/LSH implementation flips a Spark boolean
+(or count) and fails the driver's hash compare — a genuine cross-engine
+value check of the approximate operator's GUARANTEES (recall floors,
+error bounds, separation margins), complementing the operators' own
+value oracles. (Historically the sketch/LSH queries were rows-only;
+round 3 also converted their hashing to portable md5 forms, so
+`sketch_heavy_hitters_cms`, `docs_minhash_candidates`, `udf_simhash`,
+`docs_fingerprint` and `lsh_ann_candidates` now each carry a DIRECT
+value oracle as well — these twins still matter because a value-correct
+sketch can still be a statistically broken one, e.g. a seed collapse
+that keeps hashes consistent while destroying recall.)
 
 Scale posture: each check reuses its production query's plan (bounded
 sketch state, banded LSH joins, df-capped pair joins) plus one small

@@ -129,12 +129,54 @@ def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of functions/udfs.simhash64: per-token md5 split into
+    two 32-bit halves (hi = hex[1:8], lo = hex[9:16] — h = hi·2³² + lo, so
+    bit i<32 lives in lo and bit i≥32 in hi), 64 ±1 vote sums per doc, and
+    the signed-64 reconstruction v = Σ_{i<63} b_i·2^i − b₆₃·(2⁶³−1) − b₆₃
+    (the two-term form keeps every literal inside BIGINT). The bit-vote
+    aggregation IS awkward as SQL — 64 generated aggregates — which is
+    exactly why the production path is a pandas_udf; the oracle exists to
+    value-check it, not to compete with it."""
+    votes = []
+    for i in range(64):
+        src = "lo" if i < 32 else "hi"
+        sh = i if i < 32 else i - 32
+        votes.append(
+            f"sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS a{i}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN a{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    sign = (
+        "(CASE WHEN a63 > 0 THEN 9223372036854775807 ELSE 0 END) "
+        "- (CASE WHEN a63 > 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+), votes AS (
+  SELECT doc_id, {", ".join(votes)} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {bits} - {sign} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
 @register(
     "udf_simhash",
     doc="X1 + F10: SimHash fingerprints via pandas_udf (bit-vote aggregation "
-    "is genuinely awkward as SQL). blake2b-based → no DuckDB twin → "
-    "rows-only check; determinism is covered by unit tests.",
+    "is genuinely awkward as SQL — see the generated 64-aggregate oracle). "
+    "HASH-CHECKED since round 3: the md5-based token hash is replayable "
+    "in DuckDB, so the whole Arrow-batched UDF path is value-verified.",
     tags=("udf", "dedup"),
+    oracle=_simhash_oracle_sql(),
 )
 def udf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)

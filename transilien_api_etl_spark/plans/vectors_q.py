@@ -2,8 +2,9 @@
 
 Embedding-column analytics: exact cosine kNN (the oracle-checkable
 baseline), array-function surface (norms/stats per vector), label
-centroids, cosine near-dup pairs, and the LSH-bucketed ANN scale path
-(rows-only — DuckDB has no LSH twin).
+centroids, cosine near-dup pairs, and the LSH-bucketed ANN scale path —
+hash-checked since round 3 via session-free md5-parity plane literals
+that the DuckDB oracle inlines verbatim.
 """
 
 from __future__ import annotations
@@ -200,15 +201,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: test-data embedding dimensionality (FIXTURES.md) — the literal planes
+#: below are sized to it; a different corpus passes its own dim.
+LSH_DIM = 64
+
+
+def _lsh_plane_signs(n_bits: int, dim: int = LSH_DIM) -> list[list[float]]:
+    """±1.0 hyperplane components from md5('<bit>:<dim>') parity —
+    deterministic, computable WITHOUT a Spark session, so the DuckDB
+    oracle inlines the very same planes (round 3 — was per-row seeded
+    xxhash64, which DuckDB cannot reproduce)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{b}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def _lsh_bit_sql(plane: list[float], vec: str = "embedding") -> str:
+    """Sign-bit of ⟨vec, plane⟩ as a Spark-SQL string: the fold replays
+    functions/vectors.dot's sequential order (≡ DuckDB
+    list_inner_product), and the whole expression is ONE string — no
+    py4j chatter for the 2048 plane literals (same lesson as the PQ
+    kernel)."""
+    arr = ", ".join(f"{p!r}D" for p in plane)
+    return (
+        f"CAST(aggregate(zip_with({vec}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) > 0 "
+        "AS INT)"
+    )
+
+
+
+
+def _lsh_oracle_sql(n_bands: int, band_bits: int) -> str:
+    """DuckDB twin of _lsh_candidate_pairs: identical inlined planes,
+    identical sign bits (list_inner_product fold order ≡ the Spark
+    aggregate), identical comma-joined band buckets and pair counts."""
+    planes = _lsh_plane_signs(n_bands * band_bits)
+    bit_cols = ", ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(x) for x in planes[b])
+        + f"]) > 0 THEN 1 ELSE 0 END AS bit{b}"
+        for b in range(n_bands * band_bits)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, "
+        + " || ',' || ".join(
+            f"CAST(bit{band * band_bits + i} AS VARCHAR)"
+            for i in range(band_bits)
+        )
+        + " AS bucket FROM sigs"
+        for band in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, {bit_cols} FROM e),
+banded AS ({band_selects})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+
 @register(
     "lsh_ann_candidates",
     doc="ANN scale path (SURVEY §3 F8): random-hyperplane (SimHash) LSH — "
-    "sign of dot(embedding, seeded pseudo-random plane) per bit; 32 bits "
+    "sign of dot(embedding, md5-parity plane) per bit; 32 bits "
     "in 8 bands of 4, self-join per band bucket (OR-amplification: recall "
     "at cos=0.5 ≈ 1-(1-(2/3)^4)^8 ≈ 0.83 — measured in tests/"
     "test_lsh_recall.py). Candidate pairs only; re-rank with the exact "
-    "kernel. Deterministic planes from xxhash64 → rows-only check.",
+    "kernel. HASH-CHECKED since round 3: the planes are session-free "
+    "module literals, so the oracle inlines the same ±1 components and "
+    "list_inner_product replays the sign bits exactly.",
     tags=("vectors", "lsh"),
+    oracle=_lsh_oracle_sql(8, 4),
 )
 def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
@@ -221,27 +294,27 @@ def _lsh_candidate_pairs(
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs (id_a, id_b, n_shared_bands).
 
-    plane(b)[i] ∈ {-1,+1} from xxhash64(bit, dim) — deterministic, computed
-    per row from the element index; sign of the signed-sum is bit b. Docs
-    sharing any band bucket become candidates — a bucketed self-join, never
-    all-pairs.
+    plane(b)[i] ∈ {-1,+1} from md5 parity (module-level literals); sign of
+    ⟨embedding, plane⟩ is bit b. Docs sharing any band bucket become
+    candidates — a bucketed self-join, never all-pairs.
     """
-
-    def bit(b: int):
-        signed = F.zip_with(
-            F.col("embedding"),
-            F.transform(F.col("embedding"), lambda _, i: F.xxhash64(F.lit(b), i)),
-            lambda x, h: F.when(h % 2 == 0, x.cast("double")).otherwise(-x.cast("double")),
-        )
-        s = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
-        return (s > 0).cast("int").alias(f"bit{b}")
-
-    bits = emb.select("vec_id", *[bit(b) for b in range(n_bands * band_bits)])
+    planes = _lsh_plane_signs(n_bands * band_bits)
+    bits = emb.select(
+        "vec_id",
+        *[
+            F.expr(_lsh_bit_sql(planes[b])).alias(f"bit{b}")
+            for b in range(n_bands * band_bits)
+        ],
+    )
     bands = []
     for band in range(n_bands):
         cols = [F.col(f"bit{band * band_bits + i}") for i in range(band_bits)]
         bands.append(
-            bits.select("vec_id", F.lit(band).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            bits.select(
+                "vec_id",
+                F.lit(band).alias("band"),
+                F.concat_ws(",", *cols).alias("bucket"),
+            )
         )
     banded = bands[0]
     for b in bands[1:]:
