@@ -131,3 +131,21 @@ def test_crash_before_manifest_swap_preserves_previous_version(spark, tmp_path):
         r.event_type: (r.n, round(r.total, 2))
         for r in read_additive_agg(spark, path).collect()
     } == _expected(e.drop("slice"))
+
+
+def test_corrupt_manifest_refuses_instead_of_resetting(spark, tmp_path):
+    """Review fix: a manifest that exists but is unreadable (torn write)
+    must raise, not silently restart history from one delta."""
+    import pytest
+
+    import transilien_api_etl_spark.operators.incremental as inc
+
+    e = load_table(spark, SF, "events").limit(100).localCheckpoint(eager=True)
+    path = str(tmp_path / "agg_corrupt")
+    merge_additive_agg(e, 0, path, KEYS, sum_cols={"value": "total"})
+    with open(inc._manifest_file(path), "w", encoding="utf-8") as fh:
+        fh.write("")  # simulate a zero-length manifest after power loss
+    with pytest.raises(RuntimeError, match="corrupt aggregate manifest"):
+        merge_additive_agg(e, 1, path, KEYS, sum_cols={"value": "total"})
+    with pytest.raises(RuntimeError, match="corrupt aggregate manifest"):
+        read_additive_agg(spark, path)

@@ -88,3 +88,30 @@ def test_decode_payloads_dispatcher_refuses_then_stubs(spark):
     assert by_id[0]["modality"] == "stub"
     assert by_id[0]["mean_r"] is None and by_id[0]["width"] is not None
     assert by_id[2]["modality"] == "image" and by_id[1]["modality"] == "audio"
+
+
+def test_decode_payloads_null_mime_refuses_then_stubs(spark):
+    """Review fix: a NULL mime must refuse at plan time (not crash with
+    AttributeError) and must route to the stub — not silently vanish —
+    under allow_stub=True."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from transilien_api_etl_spark.operators.multimodal import (
+        decode_payloads,
+        encode_synthetic_media,
+    )
+
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    media = encode_synthetic_media(ids).withColumn(
+        "mime",
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("string")).otherwise(
+            F.col("mime")
+        ),
+    )
+    with pytest.raises(ValueError, match="None"):
+        decode_payloads(media)
+    out = {r["doc_id"]: r for r in decode_payloads(media, allow_stub=True).collect()}
+    assert len(out) == 4  # the null-mime row was not dropped
+    assert out[0]["modality"] == "stub"

@@ -57,6 +57,7 @@ def cosine_scores_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cos_sim",
+    dim_transform=None,
 ):
     """Query-vs-corpus cosine as an Arrow-batched numpy kernel.
 
@@ -64,6 +65,14 @@ def cosine_scores_arrow(
     dim-by-dim order on IEEE doubles (vectorized ACROSS rows over the
     flattened Arrow buffer), so scores are EXACT-bit identical to the JVM
     fold — callers keep their F.round/oracle contracts unchanged.
+
+    ``dim_transform(values, d) -> values`` optionally maps each
+    dimension's column of doubles before it enters the fold — this is
+    the ONE shared copy of the order-sensitive loop; the SQ8 quantized
+    scan (operators/quantize.sq8_cosine_arrow) passes its
+    encode+dequant here rather than duplicating the kernel, so a future
+    edit to the accumulation order cannot silently diverge the two
+    bit-parity contracts (policed by tests/test_arrow_kernel_parity.py).
 
     Measured at 1 M×64 (local[32], warm): 0.68 s vs 1.41 s for the HOF
     fold. Round 2 measured the OPPOSITE (1.39 s arrow vs 1.26 s HOF) with
@@ -89,6 +98,8 @@ def cosine_scores_arrow(
             dd_acc = None
             for d in range(dim):
                 col = flat[:, d]
+                if dim_transform is not None:
+                    col = dim_transform(col, d)
                 t1 = col * q_arr[d]
                 t2 = col * col
                 dot_acc = t1 if dot_acc is None else dot_acc + t1

@@ -91,13 +91,29 @@ def _manifest_file(path: str) -> str:
 
 
 def _read_manifest(path: str) -> tuple[int, str] | None:
-    """(last applied batch_id, live version dir), or None before batch 1."""
+    """(last applied batch_id, live version dir), or None before batch 1.
+
+    Only a MISSING manifest means "no committed aggregate". A manifest
+    that exists but cannot be parsed is corruption (e.g. torn blocks
+    from a power loss that beat the fsync) and raises loudly — silently
+    treating it as first-batch would reset history to one delta and let
+    the prune delete every surviving version."""
     try:
         with open(_manifest_file(path), encoding="utf-8") as fh:
-            batch_s, ver_dir = fh.read().split("\n")[:2]
-        return int(batch_s), ver_dir
-    except (FileNotFoundError, ValueError):
+            content = fh.read()
+    except FileNotFoundError:
         return None
+    try:
+        batch_s, ver_dir = content.split("\n")[:2]
+        if not ver_dir:
+            raise ValueError("empty version dir")
+        return int(batch_s), ver_dir
+    except ValueError as e:
+        raise RuntimeError(
+            f"corrupt aggregate manifest {_manifest_file(path)!r} "
+            f"(content={content!r}): refusing to reset history — restore "
+            "the manifest to point at the newest intact v=<batch> dir"
+        ) from e
 
 
 def _swap_manifest(
@@ -112,7 +128,16 @@ def _swap_manifest(
     tmp = _manifest_file(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"{batch_id}\n{ver_dir}\n")
+        fh.flush()
+        os.fsync(fh.fileno())  # data blocks durable BEFORE the rename
     os.rename(tmp, _manifest_file(path))  # atomic on POSIX
+    # …and the rename itself durable (directory entry), so a power loss
+    # after this point can't resurrect the previous manifest.
+    dir_fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
     for entry in os.listdir(path):
         if entry.startswith("v=") and entry not in keep:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)

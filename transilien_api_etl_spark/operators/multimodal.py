@@ -125,27 +125,35 @@ def decode_payloads(
     decodable = set(REAL_CODEC_MIMES)
     present = {r["mime"] for r in src.select("mime").distinct().collect()}
     pil_mimes = {
-        m for m in present if m.startswith("image/") and m not in decodable
+        m
+        for m in present
+        if m is not None and m.startswith("image/") and m not in decodable
     }
     if HAS_PIL:  # pragma: no cover - container ships without Pillow
         decodable |= pil_mimes
+    # None (null mime) is always undecodable: it refuses like any unknown
+    # mime, and under allow_stub it routes to the stub rather than being
+    # silently dropped by null-rejecting isin() predicates.
     unknown = present - decodable
     if unknown and not allow_stub:
         raise ValueError(
-            f"no real decoder for mimes {sorted(unknown)} "
+            f"no real decoder for mimes {sorted(unknown, key=str)} "
             f"(decodable here: {sorted(decodable)}); pass allow_stub=True "
             "to route them through the deterministic stub features"
         )
 
+    is_decodable = F.coalesce(
+        F.col("mime").isin(*decodable), F.lit(False)
+    )
     real = decode_media_features(
-        src.filter(F.col("mime").isin(*decodable)).select(
+        src.filter(is_decodable).select(
             F.col(id_col).alias("doc_id"), "mime", "payload"
         )
     )
     if not unknown:
         return real
     stubbed = decode_features(  # explicit opt-in only (allow_stub=True)
-        src.filter(~F.col("mime").isin(*decodable)).withColumn(
+        src.filter(~is_decodable).withColumn(
             "meta",
             F.struct(
                 F.col("mime").alias("mime"),

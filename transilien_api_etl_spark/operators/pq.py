@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.operators.kmeans import ROUND_DP, _assign_col
+from transilien_api_etl_spark.operators.kmeans import ROUND_DP
 
 Codebook = list[tuple[int, list[float]]]
 

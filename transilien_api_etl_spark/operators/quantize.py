@@ -118,56 +118,45 @@ def sq8_cosine_arrow(
     half-even, Spark/DuckDB round is decimal half-up — rounding on the
     JVM keeps the oracle contract).
 
-    Bit-parity contract: every op replays the column-expression kernel's
-    arithmetic in the same sequential order on IEEE doubles, so results
-    are IDENTICAL bits to the HOF form (verified EXACT on 1 M×64):
+    Delegates the order-sensitive accumulation loop to
+    functions/vectors.cosine_scores_arrow (the single shared copy of the
+    bit-parity fold) and contributes only the per-dimension SQ8 step:
     code = floor(v+0.5) where v = ((x-mn)/(mx-mn))*255 — exact half-up
     for v ∈ [0,256) because v+0.5 is an exact double sum there; dequant
-    mn + (code*(mx-mn))/255; dot/norm accumulate dim-by-dim left-to-right
-    (vectorized ACROSS rows, sequential across dims — the fold order of
-    functions/vectors.dot and DuckDB list_inner_product).
+    mn + (code*(mx-mn))/255; constant dimensions (mx==mn) code to 0 and
+    dequant to mn, matching sq8_code_expr's CASE guard. Every op is the
+    same sequential IEEE arithmetic as the column-expression kernel, so
+    results are IDENTICAL bits (verified EXACT on 1 M×64 and property-
+    tested in tests/test_arrow_kernel_parity.py).
 
     Measured on this box at 1 M×64 (local[32], warm cache): 0.83 s vs
-    4.31 s for the pure-JVM HOF kernel — the int8 unpack + two folds is
-    where numpy's contiguous-buffer arithmetic wins (the float kNN case
-    measured the OPPOSITE way, 1.39 s arrow vs 1.26 s HOF — see
-    BASELINE.md). Scale posture unchanged: map-only, no shuffle, model
-    state is 3×dim doubles shipped in the task closure; Arrow batches
-    stream — nothing driver-side."""
+    4.31 s for the pure-JVM HOF kernel — the int8 round/unpack plus two
+    folds per row is where numpy's contiguous-buffer arithmetic wins.
+    Scale posture unchanged: map-only, no shuffle, model state is 3×dim
+    doubles shipped in the task closure; Arrow batches stream — nothing
+    driver-side."""
     import numpy as np
-    import pyarrow as pa
+
+    from transilien_api_etl_spark.functions.vectors import cosine_scores_arrow
 
     mn_arr = np.asarray(mins, dtype=np.float64)
     mx_arr = np.asarray(maxs, dtype=np.float64)
-    q_arr = np.asarray(qvec, dtype=np.float64)
-    qn = float(qnorm)
-    dim = len(mins)
 
-    def score(batches):
-        for batch in batches:
-            vid = batch.column(0)
-            flat = np.asarray(
-                batch.column(1).flatten(), dtype=np.float64
-            ).reshape(-1, dim)
-            dot_acc = None
-            dd_acc = None
-            for d in range(dim):
-                mn_d, mx_d = mn_arr[d], mx_arr[d]
-                if mx_d == mn_d:
-                    code = np.zeros(len(flat))
-                else:
-                    v = ((flat[:, d] - mn_d) / (mx_d - mn_d)) * 255.0
-                    code = np.floor(v + 0.5)
-                dq_d = mn_d + (code * (mx_d - mn_d)) / 255.0
-                t1 = dq_d * q_arr[d]
-                t2 = dq_d * dq_d
-                dot_acc = t1 if dot_acc is None else dot_acc + t1
-                dd_acc = t2 if dd_acc is None else dd_acc + t2
-            cos = dot_acc / (np.sqrt(dd_acc) * qn)
-            yield pa.RecordBatch.from_arrays(
-                [vid, pa.array(cos)], [id_col, "cos_q8"]
-            )
+    def dequant(col, d):
+        mn_d, mx_d = mn_arr[d], mx_arr[d]
+        if mx_d == mn_d:
+            code = np.zeros(len(col))
+        else:
+            v = ((col - mn_d) / (mx_d - mn_d)) * 255.0
+            code = np.floor(v + 0.5)
+        return mn_d + (code * (mx_d - mn_d)) / 255.0
 
-    return emb.select(id_col, vec_col).mapInArrow(
-        score, f"{id_col} long, cos_q8 double"
+    return cosine_scores_arrow(
+        emb,
+        qvec,
+        qnorm,
+        id_col=id_col,
+        vec_col=vec_col,
+        out_col="cos_q8",
+        dim_transform=dequant,
     )

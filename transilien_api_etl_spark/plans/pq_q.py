@@ -114,10 +114,10 @@ def knn_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K_CODES,
         iterations=ITERS,
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query vector: empty result, same as the oracle
+        return spark.createDataFrame([], "vec_id long, adc_d2 double")
+    qvec = [float(x) for x in qrow[0]]
     luts = adc_luts(books, qvec, SUB_DIM)
     enc = emb.select("vec_id", pq_codes_col(books, "embedding", SUB_DIM).alias("codes"))
     return (

@@ -122,6 +122,8 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = sq8_stats_model(emb)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query vector: empty result, same as the oracle
+        return spark.createDataFrame([], "vec_id long, cos_q8 double")
     qvec = [float(x) for x in qrow["embedding"]]
     qn = 0.0
     for x in qvec:  # same sequential fold as l2_norm / list_inner_product
@@ -133,8 +135,8 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.31 s for the best pure-JVM HOF form — int8 unpack + two folds is
     # where contiguous-buffer numpy wins, and the results are EXACT-bit
     # identical (same sequential fold order), so the oracle hash is
-    # unchanged. The float kNN keeps its HOF kernel (there the JVM fold
-    # measured FASTER — 1.26 s vs 1.39 s; see BASELINE.md). Rounding
+    # unchanged. (The float kNN later adopted the same kernel shape after
+    # its own re-A/B — see BASELINE.md.) Rounding
     # stays JVM-side (F.round = decimal half-up, matching DuckDB).
     # Map-only into TakeOrderedAndProject; model state 3×64 doubles.
     scored = sq8_cosine_arrow(
@@ -191,6 +193,8 @@ def knn_ivf_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = sq8_stats_model(emb)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query vector: empty result, same as the oracle
+        return spark.createDataFrame([], "vec_id long, cos_q8 double")
     qvec = [float(x) for x in qrow["embedding"]]
     qn = 0.0
     for x in qvec:

@@ -11,10 +11,12 @@ overcount is bounded by collisions — asserted as a property in
 tests/test_sketches.py against the exact word-frequency twin
 (``docs_word_freq_top20``).
 
-No DuckDB oracle: the bucket hash is Spark's xxhash64, which DuckDB cannot
-reproduce — the driver records the weaker rows-only check, and the exact
-twin + property test carry the correctness weight (same pattern as the
-LSH/minhash rows-only queries in text_q/vectors_q).
+Hash-checked since round 3: the bucket hash is the portable md5 form
+(functions/text.portable_token_hash of '<seed>:<token>'), so the DuckDB
+oracle rebuilds the identical sketch and replays the min-over-rows
+estimate — on top of the exact-twin property tests
+(tests/test_sketches.py) and the `sketch_cms_error_bounds` guarantee
+check in twin_checks_q.
 """
 
 from __future__ import annotations

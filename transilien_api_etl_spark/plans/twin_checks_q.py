@@ -67,8 +67,10 @@ def sketch_cms_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("true_count").alias("n_total"),
     )
     joined = est.join(exact, "tok").crossJoin(F.broadcast(totals))
-    return joined.agg(
-        F.first("n_tokens").alias("n_tokens"),
+    # totals is the 1-row base (count over an empty corpus is 0, never
+    # NULL) and the violation counts aggregate separately, so an empty
+    # estimate set still yields (0, 0, 0) exactly like the oracle.
+    violations = joined.agg(
         F.count(F.when(F.col("est_count") < F.col("true_count"), 1)).alias(
             "n_undercount"
         ),
@@ -80,6 +82,7 @@ def sketch_cms_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_over_bound"),
     )
+    return totals.select("n_tokens").crossJoin(F.broadcast(violations))
 
 
 @register(
@@ -115,10 +118,13 @@ def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # F.sum over zero rows is NULL; coalesce so an EMPTY truth set yields
+    # 0 >= 0 = TRUE (matching the oracle's literal), not NULL.
     return strong.join(cands, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         (
-            F.lit(5) * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            F.lit(5)
+            * F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
             >= F.lit(4) * F.count(F.lit(1))
         ).alias("recall_ok"),
     )
@@ -152,12 +158,15 @@ def udf_simhash_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     pj = pairs.join(a, "doc_a").join(b, "doc_b").withColumn("ham", ham)
+    # With either side empty the separation is undefined — vacuously TRUE
+    # (the oracle states a literal TRUE), never NULL.
     return pj.agg(
         F.count(F.when(F.col("jaccard") >= 0.4, 1)).alias("n_near"),
         F.count(F.when(F.col("jaccard") < 0.15, 1)).alias("n_far"),
-        (
+        F.coalesce(
             F.avg(F.when(F.col("jaccard") >= 0.4, F.col("ham"))) + F.lit(4.0)
-            <= F.avg(F.when(F.col("jaccard") < 0.15, F.col("ham")))
+            <= F.avg(F.when(F.col("jaccard") < 0.15, F.col("ham"))),
+            F.lit(True),
         ).alias("sep_ok"),
     )
 
@@ -239,10 +248,12 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(1).alias("hit"))
         .distinct()
     )
+    # empty truth set → 0 >= 0 = TRUE (see docs_minhash_recall), not NULL
     return truth.join(cands, ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         (
-            F.lit(2) * F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            F.lit(2)
+            * F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
             >= F.count(F.lit(1))
         ).alias("recall_ok"),
     )

@@ -84,10 +84,10 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential-accumulation form is what wins; see BASELINE.md.
     # Map-only into TakeOrderedAndProject; query vector is dim doubles
     # in the task closure.
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query vector: empty result, same as the oracle
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    qvec = [float(x) for x in qrow[0]]
     qn = 0.0
     for x in qvec:  # same sequential fold as l2_norm
         qn += x * x
