@@ -40,3 +40,25 @@ def test_embedding_lsh_recall_against_exact_cosine(spark):
     cands = _pair_set(plans.queries()["lsh_ann_candidates"](spark, SF), "id_a", "id_b")
     recall = len(truth & cands) / len(truth)
     assert recall >= 0.5, f"LSH recall {recall:.2f} over {len(truth)} high-cos pairs"
+
+
+def test_lsh_dim_mismatch_fails_fast(spark):
+    """ADVICE r3 (medium): a corpus whose embedding dim differs from the
+    plane dim must raise at execution time, not silently null-pad every
+    sign bit into one shared bucket (which degenerates the banded
+    self-join to O(n^2) with meaningless candidates)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from transilien_api_etl_spark.plans.vectors_q import _lsh_candidate_pairs
+
+    wrong = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + j) for j in range(8)]) for i in range(4)]
+    )
+    with pytest.raises(Exception, match="LSH plane dim"):
+        _lsh_candidate_pairs(spark, wrong, n_bands=2, band_bits=2).collect()
+
+    # the same corpus with its own dim passed through works, and a
+    # conforming 64-dim corpus is unaffected (no degenerate single bucket)
+    ok = _lsh_candidate_pairs(spark, wrong, n_bands=2, band_bits=2, dim=8).collect()
+    assert all(r.id_a < r.id_b for r in ok)

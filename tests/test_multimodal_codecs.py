@@ -115,3 +115,57 @@ def test_decode_payloads_null_mime_refuses_then_stubs(spark):
     out = {r["doc_id"]: r for r in decode_payloads(media, allow_stub=True).collect()}
     assert len(out) == 4  # the null-mime row was not dropped
     assert out[0]["modality"] == "stub"
+
+
+def test_decode_payloads_lazy_validation(spark):
+    """ADVICE r3: validate='lazy' must not run a plan-construction-time
+    Spark job (no eager distinct over a possibly-expensive upstream plan);
+    unknown mimes then raise inside the decode batch at task time, and
+    allow_stub routing still works via the static mime predicate."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from transilien_api_etl_spark.operators.multimodal import (
+        decode_payloads,
+        encode_synthetic_media,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = encode_synthetic_media(ids)
+
+    # plan construction runs NO job: poison the upstream with a UDF that
+    # would explode if any row were computed eagerly
+    from pyspark.sql.types import BinaryType
+
+    booby = F.udf(lambda p: (_ for _ in ()).throw(RuntimeError("eager scan!")), BinaryType())
+    poisoned = media.withColumn("payload_trap", booby("payload"))
+    decode_payloads(poisoned.drop("payload_trap"), validate="lazy")  # no error
+
+    # all-real corpus decodes identically to eager mode
+    lazy = {r["doc_id"]: r for r in decode_payloads(media, validate="lazy").collect()}
+    eager = {r["doc_id"]: r for r in decode_payloads(media).collect()}
+    assert lazy.keys() == eager.keys()
+    assert all(lazy[k]["modality"] == eager[k]["modality"] for k in lazy)
+
+    # unknown mime: raises at TASK time (collect), not plan time
+    weird = media.withColumn(
+        "mime",
+        F.when(F.col("doc_id") == 0, F.lit("video/mp4")).otherwise(F.col("mime")),
+    )
+    plan = decode_payloads(weird, validate="lazy")  # plan builds fine
+    with pytest.raises(Exception, match="video/mp4"):
+        plan.collect()
+
+    # allow_stub + lazy: unknown and null mimes route to the stub branch
+    nulled = weird.withColumn(
+        "mime",
+        F.when(F.col("doc_id") == 1, F.lit(None).cast("string")).otherwise(F.col("mime")),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_payloads(nulled, allow_stub=True, validate="lazy").collect()
+    }
+    assert len(out) == 8
+    assert out[0]["modality"] == "stub" and out[1]["modality"] == "stub"
+    assert out[2]["modality"] == "image" and out[3]["modality"] == "audio"

@@ -76,3 +76,24 @@ def test_first_50_all_have_oracles_whatever_the_round():
     first50 = list(REGISTRY)[:50]
     weak = [q for q in first50 if not REGISTRY[q].oracle]
     assert weak == [], weak
+
+
+def test_green_checked_latest_round_wins(tmp_path):
+    """ADVICE r3: a query that regresses AFTER once passing must be
+    un-greened (most recent CORRECTNESS record wins), so it rotates back
+    into the driver's window instead of hiding in the green back half."""
+    import json
+
+    from transilien_api_etl_spark.plans import _green_checked
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "stays_green": {"hash_match": True, "err": None},
+        "regressed": {"hash_match": True, "err": None},
+        "recovered": {"hash_match": False, "err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "regressed": {"hash_match": False, "err": "boom"},
+        "recovered": {"hash_match": True, "err": None},
+    }))
+    green = _green_checked(repo=str(tmp_path))
+    assert green == {"stays_green", "recovered"}

@@ -13,13 +13,17 @@ Two tiers of decoders:
   value-checked end-to-end by the ``multimodal_real_decode`` oracle.
 - STUBS for formats needing external libs (JPEG/MP3/MP4): the container
   ships without PIL/librosa/av, so ``decode_features`` computes
-  deterministic fake features. The stub is reachable ONLY through
-  ``decode_payloads(..., allow_stub=True)`` — the public dispatcher
-  routes every payload to a real decoder (zero-dep codecs always;
-  Pillow-backed ``image/*`` when ``HAS_PIL``, detected once at import)
-  and refuses undecodable mimes at plan time otherwise. The Spark-side
-  plumbing — schema, batch iteration, partitioning — is real and tested
-  either way.
+  deterministic fake features. The ``decode_payloads`` dispatcher never
+  reaches the stub without an explicit ``allow_stub=True`` — it routes
+  every payload to a real decoder (zero-dep codecs always; Pillow-backed
+  ``image/*`` when ``HAS_PIL``, detected once at import) and refuses
+  undecodable mimes otherwise. ``decode_features`` itself remains a
+  public primitive (the ``multimodal_decode_features`` registry query
+  calls it directly, BY DESIGN: its oracle states the stub's
+  deterministic fake features in SQL) — "stub-free" is a guarantee about
+  the dispatcher's routing, not a claim that the stub is private. The
+  Spark-side plumbing — schema, batch iteration, partitioning — is real
+  and tested either way.
 """
 
 from __future__ import annotations
@@ -93,7 +97,11 @@ REAL_CODEC_MIMES = frozenset({"image/x-portable-pixmap", "audio/wav"})
 
 
 def decode_payloads(
-    df: DataFrame, id_col: str = "doc_id", *, allow_stub: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    allow_stub: bool = False,
+    validate: str = "eager",
 ) -> DataFrame:
     """THE public decode entry point — dispatches every payload to a real
     decoder, never to an unimplemented gate.
@@ -106,16 +114,25 @@ def decode_payloads(
     - other ``image/*`` mimes → the Pillow branch of
       :func:`decode_media_features` when Pillow was importable at module
       load (``HAS_PIL``);
-    - anything else → ``ValueError`` at plan-construction time listing
-      the decodable mimes — UNLESS ``allow_stub=True``, which routes
-      undecodable payloads through the deterministic
-      :func:`decode_features` stub with ``modality='stub'``. The stub is
-      therefore unreachable without this explicit opt-in.
+    - anything else → ``ValueError`` — UNLESS ``allow_stub=True``, which
+      routes undecodable payloads through the deterministic
+      :func:`decode_features` stub with ``modality='stub'``. The
+      dispatcher never reaches the stub without this explicit opt-in.
 
-    The mime check is a bounded distinct over the mime column (a handful
-    of values — dictionary-encoded at the scan, aggregated map-side), so
-    the refusal is loud and early rather than a task-time crash at 100 TB.
+    ``validate`` picks WHEN the unknown-mime refusal fires (ADVICE r3):
+
+    - ``"eager"`` (default): a plan-construction-time distinct over the
+      mime projection. Loud and early, but it IS a Spark job per call —
+      cheap on a columnar source (single dictionary-encoded column,
+      map-side partial distinct), yet a full pass over whatever plan
+      feeds ``df``, so a post-transform input pays its upstream compute
+      twice. Prefer ``"lazy"`` when ``df`` is not a plain scan.
+    - ``"lazy"``: no extra job; routing uses the static decodable-mime
+      predicate and an unknown mime raises inside the decode batch on
+      the first offending row (task-time, with the same allow_stub hint).
     """
+    if validate not in ("eager", "lazy"):
+        raise ValueError(f"validate must be 'eager' or 'lazy', got {validate!r}")
     src = df
     if "mime" not in src.columns and "meta" in src.columns:
         src = src.withColumn("mime", F.col("meta")["mime"])
@@ -123,34 +140,43 @@ def decode_payloads(
         raise ValueError("decode_payloads needs payload + mime (or meta) columns")
 
     decodable = set(REAL_CODEC_MIMES)
-    present = {r["mime"] for r in src.select("mime").distinct().collect()}
-    pil_mimes = {
-        m
-        for m in present
-        if m is not None and m.startswith("image/") and m not in decodable
-    }
-    if HAS_PIL:  # pragma: no cover - container ships without Pillow
-        decodable |= pil_mimes
-    # None (null mime) is always undecodable: it refuses like any unknown
-    # mime, and under allow_stub it routes to the stub rather than being
-    # silently dropped by null-rejecting isin() predicates.
-    unknown = present - decodable
-    if unknown and not allow_stub:
-        raise ValueError(
-            f"no real decoder for mimes {sorted(unknown, key=str)} "
-            f"(decodable here: {sorted(decodable)}); pass allow_stub=True "
-            "to route them through the deterministic stub features"
-        )
+    if validate == "eager":
+        present = {r["mime"] for r in src.select("mime").distinct().collect()}
+        pil_mimes = {
+            m
+            for m in present
+            if m is not None and m.startswith("image/") and m not in decodable
+        }
+        if HAS_PIL:  # pragma: no cover - container ships without Pillow
+            decodable |= pil_mimes
+        # None (null mime) is always undecodable: it refuses like any unknown
+        # mime, and under allow_stub it routes to the stub rather than being
+        # silently dropped by null-rejecting isin() predicates.
+        unknown = present - decodable
+        if unknown and not allow_stub:
+            raise ValueError(
+                f"no real decoder for mimes {sorted(unknown, key=str)} "
+                f"(decodable here: {sorted(decodable)}); pass allow_stub=True "
+                "to route them through the deterministic stub features"
+            )
+        split_stub = bool(unknown)
+    else:
+        # lazy: no collect — route on the static predicate. Without
+        # allow_stub every row goes to the real decoder, whose per-row
+        # dispatch raises on the first unknown mime (task time).
+        split_stub = allow_stub
 
-    is_decodable = F.coalesce(
-        F.col("mime").isin(*decodable), F.lit(False)
-    )
+    is_decodable = F.coalesce(F.col("mime").isin(*decodable), F.lit(False))
+    if HAS_PIL and validate == "lazy":  # pragma: no cover - no Pillow here
+        is_decodable = is_decodable | F.coalesce(
+            F.col("mime").startswith("image/"), F.lit(False)
+        )
     real = decode_media_features(
-        src.filter(is_decodable).select(
+        (src.filter(is_decodable) if split_stub else src).select(
             F.col(id_col).alias("doc_id"), "mime", "payload"
         )
     )
-    if not unknown:
+    if not split_stub:
         return real
     stubbed = decode_features(  # explicit opt-in only (allow_stub=True)
         src.filter(~is_decodable).withColumn(
@@ -378,9 +404,13 @@ def decode_media_features(df: DataFrame) -> DataFrame:
             return _ppm_features(payload)
         if mime == "audio/wav":
             return _wav_features(payload)
-        if HAS_PIL and mime.startswith("image/"):  # pragma: no cover
+        if HAS_PIL and mime is not None and mime.startswith("image/"):  # pragma: no cover
             return _pil_features(payload)
-        raise ValueError(f"no real decoder for mime {mime!r}")
+        raise ValueError(
+            f"no real decoder for mime {mime!r} (decodable here: "
+            f"{sorted(REAL_CODEC_MIMES)}); pass allow_stub=True to "
+            "decode_payloads to route it through the deterministic stub"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [

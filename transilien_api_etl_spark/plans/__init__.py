@@ -161,21 +161,29 @@ _NEXT_WINDOW: tuple[str, ...] = (
 )
 
 
-def _green_checked() -> set[str]:
+def _green_checked(repo: str | None = None) -> set[str]:
     """Queries that already hold a usable driver correctness row.
 
     A row counts as green when its hash matched, or when the driver
     recorded ``no_oracle`` for a query that (still) has no oracle —
     re-running those earns nothing. Errors, mismatches, and ``no_oracle``
     rows for queries that have SINCE gained an oracle count as unchecked,
-    so they rotate back into the window. Reads every CORRECTNESS_r*.json
-    at the repo root; malformed/absent artifacts are simply skipped."""
+    so they rotate back into the window. The MOST RECENT round's record
+    wins per query (ADVICE r3): a query that regresses after once
+    passing is un-greened and rotates back in, instead of sorting
+    permanently into the never-rechecked back half. Reads every
+    CORRECTNESS_r*.json at the repo root (zero-padded round numbers, so
+    lexicographic sort == chronological); malformed/absent artifacts are
+    simply skipped."""
     import glob as _glob
     import json as _json
     import os as _os
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    green: set[str] = set()
+    if repo is None:
+        repo = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+    last: dict[str, bool] = {}
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as fh:
@@ -186,12 +194,14 @@ def _green_checked() -> set[str]:
             if not isinstance(rec, dict):
                 continue
             if rec.get("hash_match") is True:
-                green.add(name)
+                last[name] = True
             elif rec.get("err") == "no_oracle" and not (
                 name in REGISTRY and REGISTRY[name].oracle
             ):
-                green.add(name)
-    return green
+                last[name] = True
+            else:
+                last[name] = False
+    return {name for name, ok in last.items() if ok}
 
 
 def _reorder_registry() -> None:

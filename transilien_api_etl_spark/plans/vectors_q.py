@@ -227,12 +227,24 @@ def _lsh_bit_sql(plane: list[float], vec: str = "embedding") -> str:
     functions/vectors.dot's sequential order (≡ DuckDB
     list_inner_product), and the whole expression is ONE string — no
     py4j chatter for the 2048 plane literals (same lesson as the PQ
-    kernel)."""
+    kernel).
+
+    Guarded: if a row's vector length differs from the plane length,
+    zip_with would null-pad and every sign-sum would go NULL — silently
+    collapsing all buckets into one and degenerating the banded
+    self-join to O(n²). raise_error on the first mismatched row instead
+    (execution-time, no extra scan; a constant-true branch for
+    conforming corpora, so dim-64 results and their hashes are
+    unchanged)."""
     arr = ", ".join(f"{p!r}D" for p in plane)
+    dim = len(plane)
     return (
-        f"CAST(aggregate(zip_with({vec}, array({arr}), "
+        f"CASE WHEN size({vec}) <> {dim} THEN "
+        f"CAST(raise_error(concat('LSH plane dim {dim} != embedding dim ', "
+        f"CAST(size({vec}) AS STRING), ' — pass dim= to _lsh_candidate_pairs')) AS INT) "
+        f"ELSE CAST(aggregate(zip_with({vec}, array({arr}), "
         "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) > 0 "
-        "AS INT)"
+        "AS INT) END"
     )
 
 
@@ -290,15 +302,22 @@ def lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_candidate_pairs(
-    spark: SparkSession, emb: DataFrame, n_bands: int, band_bits: int
+    spark: SparkSession,
+    emb: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    dim: int = LSH_DIM,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs (id_a, id_b, n_shared_bands).
 
     plane(b)[i] ∈ {-1,+1} from md5 parity (module-level literals); sign of
     ⟨embedding, plane⟩ is bit b. Docs sharing any band bucket become
-    candidates — a bucketed self-join, never all-pairs.
+    candidates — a bucketed self-join, never all-pairs. A corpus with a
+    different embedding dimensionality passes ``dim=``; a row whose
+    vector length differs from ``dim`` raises at execution time (see
+    _lsh_bit_sql) rather than degrading to a single-bucket cross join.
     """
-    planes = _lsh_plane_signs(n_bands * band_bits)
+    planes = _lsh_plane_signs(n_bands * band_bits, dim)
     bits = emb.select(
         "vec_id",
         *[

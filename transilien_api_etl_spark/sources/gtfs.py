@@ -263,11 +263,18 @@ def expand_frequencies(
         gtfs_clock_seconds(F.col("end_time")).alias("end_s"),
         F.col("headway_secs").cast("long").alias("headway_s"),
     ).withColumn(
+        # departures at start_s, start_s+h, … STRICTLY before end_s — so an
+        # empty/inverted window (end_s <= start_s) yields ZERO repetitions,
+        # not a phantom one (ADVICE r3: greatest(...,1) emitted a rep and
+        # shifted the cross-window instance numbering of every later
+        # window). A positive window always yields ceil(...) >= 1.
         "n_reps",
-        F.greatest(
+        F.when(
+            F.col("end_s") > F.col("start_s"),
             F.ceil((F.col("end_s") - F.col("start_s")) / F.col("headway_s")),
-            F.lit(1),
-        ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
     )
     # Globalize instance numbers across a trip's windows: window w's first
     # repetition continues where the previous window left off. The window
@@ -290,7 +297,11 @@ def expand_frequencies(
         .withColumn("arr_s", gtfs_clock_seconds(F.col("arrival_time")))
         .withColumn("trip_start_s", F.min("dep_s").over(base))
     )
-    rep = tmpl.select(
+    # n_reps = 0 windows must be dropped BEFORE the explode: sequence(0, -1)
+    # would descend ([0, -1]), not produce an empty array. The trip stays
+    # frequency-based (still anti-joined out of the passthrough below) —
+    # an empty window simply contributes zero concrete instances.
+    rep = tmpl.filter(F.col("n_reps") > 0).select(
         "*",
         F.posexplode(F.sequence(F.lit(0), F.col("n_reps") - 1)).alias("rep", "_i"),
     ).drop("_i")

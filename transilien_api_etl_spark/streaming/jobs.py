@@ -48,6 +48,39 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _bounded_state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` to the session's core count for
+    the duration of a stream run, restoring the caller's value afterwards.
+
+    Stateful streaming fixes its state-store partition count from this conf
+    at FIRST checkpoint (AQE never re-coalesces stateful streams), so a
+    driver session left at the 200 default spins up 200 state-store
+    instances per query — 25× the cores on the test harness, and the
+    dominant cost of the stream-stream-join twins at sf0.01 (~29 s → ~3 s).
+    Every helper below creates a FRESH checkpoint, so re-pinning per run is
+    always legal. On a real cluster callers size the conf themselves before
+    the first start; this guard only ever shrinks toward defaultParallelism.
+    """
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get(self.KEY, None)
+        cores = self.spark.sparkContext.defaultParallelism
+        target = max(cores, 8)
+        if self.prev is None or int(self.prev) > target:
+            self.spark.conf.set(self.KEY, str(target))
+
+    def __exit__(self, *exc) -> None:
+        if self.prev is not None:
+            self.spark.conf.set(self.KEY, self.prev)
+        else:  # pragma: no cover - conf always has a default
+            self.spark.conf.unset(self.KEY)
+
+
 def run_stream_to_memory(
     sdf: DataFrame, output_mode: str, name_prefix: str = "stream"
 ) -> DataFrame:
@@ -55,15 +88,16 @@ def run_stream_to_memory(
     sink; returns the materialized result as a batch DataFrame."""
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(qname)
 
 
@@ -73,14 +107,15 @@ def run_stream_foreach_batch(
     """Drive a stream through a foreachBatch sink to completion (S5/T1)."""
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        sdf.writeStream.foreachBatch(batch_fn)
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(batch_fn)
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 SESSION_GAP_MS = 1_800_000  # 30 minutes
