@@ -149,3 +149,26 @@ def test_corrupt_manifest_refuses_instead_of_resetting(spark, tmp_path):
         merge_additive_agg(e, 1, path, KEYS, sum_cols={"value": "total"})
     with pytest.raises(RuntimeError, match="corrupt aggregate manifest"):
         read_additive_agg(spark, path)
+
+
+def test_retain_versions_widens_reader_grace(spark, tmp_path):
+    """ADVICE r3: retain_versions keeps the newest N version dirs across
+    swaps (reader-grace window); default 2 keeps new + previous only."""
+    import os
+
+    from transilien_api_etl_spark.operators.incremental import merge_additive_agg
+
+    store = str(tmp_path / "agg3")
+    for b in range(1, 5):
+        batch = spark.createDataFrame([("k", b)], "key string, v int")
+        merge_additive_agg(batch, b, store, keys=["key"], sum_cols={"v": "sum_v"},
+                           retain_versions=3)
+    vers = sorted(e for e in os.listdir(store) if e.startswith("v="))
+    assert vers == ["v=2", "v=3", "v=4"]
+
+    store2 = str(tmp_path / "agg2")
+    for b in range(1, 5):
+        batch = spark.createDataFrame([("k", b)], "key string, v int")
+        merge_additive_agg(batch, b, store2, keys=["key"], sum_cols={"v": "sum_v"})
+    vers2 = sorted(e for e in os.listdir(store2) if e.startswith("v="))
+    assert vers2 == ["v=3", "v=4"]

@@ -41,6 +41,7 @@ def merge_additive_agg(
     keys: list[str],
     count_col: str = "n",
     sum_cols: dict[str, str] | None = None,
+    retain_versions: int = 2,
 ) -> None:
     """Fold one micro-batch into the stored additive aggregate at ``path``.
 
@@ -48,6 +49,14 @@ def merge_additive_agg(
     keys + count + sums + ``_last_batch``; data lives in ``path/v=<batch>``
     with ``path/_CURRENT`` naming the live version (see module docstring
     for the crash-atomicity contract).
+
+    ``retain_versions`` is the reader-grace window (ADVICE r3): each swap
+    keeps the newest N version dirs and prunes the rest, so a reader that
+    resolved the manifest up to N-1 swaps ago can still finish its scan.
+    The default (2 = new + immediately-previous) is sized for the
+    single-writer / short-reader streaming posture documented on
+    :func:`read_additive_agg`; raise it if slow concurrent batch readers
+    may span several merge cycles.
     """
     spark = batch_df.sparkSession
     sum_cols = sum_cols or {}
@@ -83,7 +92,9 @@ def merge_additive_agg(
     # attempt of THIS batch left by a crash — the live version is untouched
     # until the manifest swap below.
     merged.write.mode("overwrite").parquet(f"{path}/{new_dir}")
-    _swap_manifest(path, batch_id, new_dir, keep={new_dir, live_dir})
+    _swap_manifest(
+        path, batch_id, new_dir, keep={new_dir, live_dir}, retain=retain_versions
+    )
 
 
 def _manifest_file(path: str) -> str:
@@ -117,13 +128,14 @@ def _read_manifest(path: str) -> tuple[int, str] | None:
 
 
 def _swap_manifest(
-    path: str, batch_id: int, ver_dir: str, keep: set[str | None]
+    path: str, batch_id: int, ver_dir: str, keep: set[str | None], retain: int = 2
 ) -> None:
     """Atomically repoint ``_CURRENT`` and prune superseded version dirs.
 
-    The previous live version is kept (``keep``) so a reader that resolved
-    the manifest just before the swap can still finish its scan; versions
-    older than that are best-effort deleted.
+    The newest ``retain`` version dirs survive the prune (always including
+    ``keep`` — the new and previous live versions), so a reader that
+    resolved the manifest up to ``retain - 1`` swaps ago can still finish
+    its scan; anything older is best-effort deleted.
     """
     tmp = _manifest_file(path) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -138,12 +150,36 @@ def _swap_manifest(
         os.fsync(dir_fd)
     finally:
         os.close(dir_fd)
-    for entry in os.listdir(path):
-        if entry.startswith("v=") and entry not in keep:
+
+    def _batch_of(entry: str) -> int:
+        try:
+            return int(entry[2:])
+        except ValueError:
+            return -1  # malformed v= dir: oldest, pruned first
+
+    versions = sorted(
+        (e for e in os.listdir(path) if e.startswith("v=")),
+        key=_batch_of,
+        reverse=True,
+    )
+    survivors = set(versions[: max(retain, 1)]) | {k for k in keep if k}
+    for entry in versions:
+        if entry not in survivors:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def read_additive_agg(spark: SparkSession, path: str) -> DataFrame:
+    """Read the live version of the stored aggregate.
+
+    CONCURRENCY CONTRACT (the read-grace window): the version dir this
+    resolves stays on disk only until it falls out of the writer's
+    ``retain_versions`` newest (default 2 — this version plus one more
+    swap). A scan that outlives that many merges can have its parquet
+    files pruned mid-read. Fine for the intended single-writer posture
+    with reads that are short relative to the micro-batch interval; for
+    slow concurrent batch readers, raise ``retain_versions`` on the
+    writer so the grace window covers the longest expected scan.
+    """
     current = _read_manifest(path)
     if current is None:
         raise FileNotFoundError(f"no committed aggregate under {path}")
