@@ -37,7 +37,11 @@ N_BUCKETS = 32
 spark = build_session(
     "bucketed-facts-ab",
     extra_conf={
-        "spark.sql.warehouse.dir": "/tmp/bucketed_ab_wh",
+        # v2: one-file-per-bucket layout (write_bucketed round-4 default)
+        "spark.sql.warehouse.dir": "/tmp/bucketed_ab_wh_v2",
+        # honor the at-rest sort so the merge join skips its Sort; safe
+        # because the v2 layout guarantees one file per bucket
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     },
 )

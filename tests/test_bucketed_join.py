@@ -1,0 +1,126 @@
+"""CI gate for the bucketed-at-rest fact layout (DEPLOY.md storage rule,
+measured end-to-end in scripts/bucketed_facts_ab.py / BASELINE.md round 4):
+facts bucketed+sorted on their join key must join AND aggregate on that key
+with ZERO exchanges — the property that deletes the data-volume-scaling
+shuffle term from recurring fact-fact joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.sources.sinks import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _bucket_join_confs(spark):
+    """At sf0.001 orders fits under the broadcast threshold, so Catalyst
+    picks BHJ and its BroadcastExchange (a driver-side dim ship, not a data
+    shuffle) would mask the property under test: the sort-merge path over
+    at-rest buckets — the only plan available when both facts are
+    shuffle-sized, which is the 100 TB case this gate models. Sorted-bucket
+    scan ordering is opt-in since Spark 3.0 (it needs the one-file-per-bucket
+    planning check); ``write_bucketed``'s aligned repartition guarantees that
+    layout, so the conf is safe to enable."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def _drop(spark, name: str) -> None:
+    """DROP TABLE plus orphaned-location cleanup: a killed run can leave the
+    warehouse dir behind with no catalog entry, and saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{name}", ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def bucketed_facts(spark):
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"{table}_bjtest"
+        _drop(spark, name)
+        write_bucketed(
+            load_table(spark, SF, table), name, [key], n_buckets=4, sort_cols=[key]
+        )
+    yield "lineitem_bjtest", "orders_bjtest"
+    for name in ("lineitem_bjtest", "orders_bjtest"):
+        _drop(spark, name)
+
+
+def test_bucketed_fact_join_and_agg_have_no_exchange(spark, bucketed_facts):
+    line_t, orders_t = bucketed_facts
+    line, orders = spark.table(line_t), spark.table(orders_t)
+    # the q3 core: fact⋈fact on the bucket key, then group-by on a superset
+    # of it — both must reuse the at-rest bucketing (no Exchange anywhere
+    # before the final top-k)
+    with _bucket_join_confs(spark):
+        joined = (
+            line.join(orders, line.l_orderkey == orders.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join/agg still exchanges:\n{plan}"
+        # sorted buckets also delete the pre-merge-join sort
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\bSort \(", plan), f"bucket sort order not reused:\n{plan}"
+
+        # and it is not vacuous: the same plan over plain parquet DOES exchange
+        plain = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        assert "Exchange" in _plan(plain)
+
+
+def test_bucketed_join_results_match_plain(spark, bucketed_facts):
+    line_t, orders_t = bucketed_facts
+    bucketed = (
+        spark.table(line_t)
+        .join(spark.table(orders_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    plain = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

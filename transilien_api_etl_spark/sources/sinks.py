@@ -111,12 +111,25 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    one_file_per_bucket: bool = True,
 ) -> None:
     """Bucketed managed table (S6 scale variant): co-locates rows by hash of
     ``bucket_cols`` at write time so later joins/aggs on those keys read
     pre-shuffled data — at 100 TB this converts every recurring fact⋈fact
     join on the bucket key into a zero-exchange sort-merge join. Sorting
-    within buckets additionally drops the sort from the join."""
+    within buckets additionally drops the sort from the join.
+
+    ``one_file_per_bucket`` pre-shuffles the input on ``bucket_cols`` into
+    exactly ``n_buckets`` partitions. ``repartition(n, cols)`` uses the same
+    Murmur3 HashPartitioning as the bucket spec, so each write task holds
+    exactly one bucket's rows and emits one file. Without it every task
+    writes up to ``n_buckets`` files (tasks x buckets small-file explosion at
+    cluster scale), and — because Spark only trusts bucket sort order when a
+    bucket is a single file — downstream merge joins re-Sort, defeating
+    ``sort_cols``. Disable only for single-shot writes of data already
+    partitioned on the key."""
+    if one_file_per_bucket:
+        df = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
