@@ -73,8 +73,10 @@ def sf_from_dir(path: str) -> float:
         return -1.0
 
 
-# Queries slower than this on their first timed rep skip further reps —
-# a 30 s scan re-run 3× buys noise reduction nobody needs.
+# Spark queries still slower than this after their second rep (the first
+# rep may be cold-cache; DuckDB is timed warm) skip further reps — a 30 s
+# scan re-run 3× buys noise reduction nobody needs. Worst case a slow
+# query costs 2 reps, the price of not recording cold-read phantoms.
 SLOW_QUERY_CUTOFF_S = 5.0
 
 

@@ -52,14 +52,19 @@ for table, key, sort in (
     ("orders", "o_orderkey", "o_orderkey"),
 ):
     bname = f"{table}_bucketed"
-    if not spark.catalog.tableExists(bname):
-        t0 = time.perf_counter()
-        write_bucketed(
-            load_table(spark, SCALE, table), bname, [key], N_BUCKETS, sort_cols=[sort]
-        )
-        print(f"# wrote {bname}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # ALWAYS drop + rewrite: the derby metastore (metastore_db/ in cwd)
+    # outlives /tmp warehouses and write_bucketed layout changes, so a
+    # tableExists guard would silently measure a stale layout — or crash
+    # on a dangling table location after a reboot clears /tmp.
+    spark.sql(f"DROP TABLE IF EXISTS {bname}")
+    t0 = time.perf_counter()
+    write_bucketed(
+        load_table(spark, SCALE, table), bname, [key], N_BUCKETS, sort_cols=[sort]
+    )
+    print(f"# wrote {bname}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
 import transilien_api_etl_spark.plans.relational as rel  # noqa: E402
+from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
 
 _orig_load = rel.load_table
 
@@ -85,9 +90,6 @@ def best_of(fn, reps=3) -> tuple[float, int]:
 
 results = {}
 for qname in ("q3_shipping_priority", "q5_local_supplier"):
-    qfn = rel.REGISTRY[qname].fn if hasattr(rel, "REGISTRY") else None
-    from transilien_api_etl_spark.plans.registry import REGISTRY
-
     qfn = REGISTRY[qname].fn
     for variant, loader in (("plain", _orig_load), ("bucketed", _bucketed_load)):
         rel.load_table = loader

@@ -6,7 +6,11 @@ GTFS semantics, not just the two examples in tests/test_gtfs_frequencies.py.
 
 Round 4 (ADVICE r3): empty/inverted windows (end <= start) are in the
 strategy — they must contribute ZERO instances (no phantom repetition) and
-must not shift the instance numbering of the trip's later windows.
+must not shift the instance numbering of the trip's later windows. The
+strategy also emits NON-POSITIVE headways (malformed feed rows): ceil of
+the negative quotient would make n_reps negative, which silently shifts —
+and can collide — the ids of every later window through the rep_offset
+running sum, so they too must contribute exactly zero.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ windows_strategy = st.lists(
         # duration: negative/zero (empty or inverted window → 0 reps)
         # through 3 h
         st.integers(min_value=-1800, max_value=3 * 3600),
-        st.integers(min_value=60, max_value=1800),  # headway
+        # headway: non-positive (malformed row → 0 reps) through 30 min
+        st.integers(min_value=-600, max_value=1800),
     ),
     min_size=1,
     max_size=4,
@@ -61,7 +66,8 @@ def test_expansion_counts_and_uniqueness(spark, windows):
     ).collect()
 
     expected_instances = sum(
-        math.ceil(dur / hw) if dur > 0 else 0 for _, dur, hw in windows
+        math.ceil(dur / hw) if dur > 0 and hw > 0 else 0
+        for _, dur, hw in windows
     )
     ids = {(r["trip_id"], r["stop_sequence"]) for r in out}
     # no collisions anywhere in the fan-out (the round-3 bug: 'T#0' reused

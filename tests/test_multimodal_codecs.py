@@ -134,13 +134,19 @@ def test_decode_payloads_lazy_validation(spark):
     ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
     media = encode_synthetic_media(ids)
 
-    # plan construction runs NO job: poison the upstream with a UDF that
-    # would explode if any row were computed eagerly
-    from pyspark.sql.types import BinaryType
+    # plan construction runs NO job: poison the mime column ITSELF with a
+    # UDF that explodes if any row is computed — eager validation's
+    # select('mime').distinct().collect() MUST trip it (proving the trap
+    # is live, not pruned), lazy mode must not
+    from pyspark.sql.types import StringType
 
-    booby = F.udf(lambda p: (_ for _ in ()).throw(RuntimeError("eager scan!")), BinaryType())
-    poisoned = media.withColumn("payload_trap", booby("payload"))
-    decode_payloads(poisoned.drop("payload_trap"), validate="lazy")  # no error
+    booby = F.udf(
+        lambda m: (_ for _ in ()).throw(RuntimeError("eager scan!")), StringType()
+    )
+    poisoned = media.withColumn("mime", booby("mime"))
+    with pytest.raises(Exception, match="eager scan"):
+        decode_payloads(poisoned, validate="eager")
+    decode_payloads(poisoned, validate="lazy")  # no error: no plan-time job
 
     # all-real corpus decodes identically to eager mode
     lazy = {r["doc_id"]: r for r in decode_payloads(media, validate="lazy").collect()}

@@ -172,19 +172,27 @@ def _green_checked(repo: str | None = None) -> set[str]:
     wins per query (ADVICE r3): a query that regresses after once
     passing is un-greened and rotates back in, instead of sorting
     permanently into the never-rechecked back half. Reads every
-    CORRECTNESS_r*.json at the repo root (zero-padded round numbers, so
-    lexicographic sort == chronological); malformed/absent artifacts are
-    simply skipped."""
+    CORRECTNESS_r*.json at the repo root in PARSED round order (not
+    lexicographic, which would slot r100 between r10 and r11);
+    malformed/absent artifacts are simply skipped."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     if repo is None:
         repo = _os.path.dirname(
             _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         )
+
+    def _round_num(path: str) -> int:
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", _os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     last: dict[str, bool] = {}
-    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_num
+    ):
         try:
             with open(path, encoding="utf-8") as fh:
                 data = _json.load(fh)

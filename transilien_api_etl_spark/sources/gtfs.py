@@ -267,10 +267,14 @@ def expand_frequencies(
         # empty/inverted window (end_s <= start_s) yields ZERO repetitions,
         # not a phantom one (ADVICE r3: greatest(...,1) emitted a rep and
         # shifted the cross-window instance numbering of every later
-        # window). A positive window always yields ceil(...) >= 1.
+        # window). A non-positive headway also yields zero: ceil of the
+        # negative quotient would make n_reps NEGATIVE, and a negative
+        # term in the rep_offset running sum shifts (and can collide) the
+        # instance ids of every later window of the trip. A valid window
+        # (end > start, headway > 0) always yields ceil(...) >= 1.
         "n_reps",
         F.when(
-            F.col("end_s") > F.col("start_s"),
+            (F.col("end_s") > F.col("start_s")) & (F.col("headway_s") > 0),
             F.ceil((F.col("end_s") - F.col("start_s")) / F.col("headway_s")),
         )
         .otherwise(F.lit(0))

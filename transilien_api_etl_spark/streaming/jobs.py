@@ -60,6 +60,15 @@ class _bounded_state_partitions:
     Every helper below creates a FRESH checkpoint, so re-pinning per run is
     always legal. On a real cluster callers size the conf themselves before
     the first start; this guard only ever shrinks toward defaultParallelism.
+
+    NOT reentrant/thread-safe: the conf is session-global, so two
+    overlapping guards on one session can restore in the wrong order and
+    leave the shrunk value behind (and a concurrent batch query on another
+    thread shuffles at the shrunk width while a guard is open). The
+    helpers below run streams to completion before returning, so the
+    driver/test posture is serial by construction; callers running
+    streams concurrently should pin the conf once at session build
+    instead of relying on this guard.
     """
 
     KEY = "spark.sql.shuffle.partitions"
