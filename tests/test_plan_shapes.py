@@ -236,6 +236,22 @@ def test_sort_limit_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_topk_per_group_keeps_window_group_limit(spark):
+    """row_number-over-window + rank filter must keep Spark's
+    WindowGroupLimit pushdown, BOTH sides of the shuffle: the Partial pass
+    prunes each map partition to k rows per group BEFORE the exchange —
+    at 100 TB that is the difference between shuffling k·|groups| rows
+    and shuffling the whole fact table. A reshaped query (e.g. rank in a
+    subquery the optimizer can't see through) silently loses it."""
+    plan = _physical_plan(spark, "topk_orders_per_customer")
+    # formatted explain puts the node name and its mode on separate lines:
+    # two WindowGroupLimit nodes, one Partial (map-side, pre-exchange) and
+    # one Final argument line
+    assert plan.count("WindowGroupLimit") >= 2, f"group-limit pushdown lost:\n{plan}"
+    assert "row_number(), 3, Partial" in plan, f"no map-side group limit:\n{plan}"
+    assert "row_number(), 3, Final" in plan, f"no final group limit:\n{plan}"
+
+
 def test_whole_stage_codegen_on_q1(spark):
     import contextlib
     import io
