@@ -54,3 +54,72 @@ def test_triangle_count_matches_brute_force(spark):
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == tri
     assert abs(row["clustering_coef"] - 3 * tri / wedges) < 1e-6
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python oracle: node -> min member id of its component.
+    Mirrors connected_components' contract: only nodes incident to a
+    non-self-loop edge are labeled (self-loops are filtered, isolated
+    nodes never enter the edge list)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property check of the large-star/small-star rounds (the dedup
+    clustering backbone) against a union-find oracle on adversarial
+    random graphs: duplicate edges, self-loops, both edge orientations,
+    many components, and long chains that need multiple rounds.
+    Hypothesis-driven example generation, but with a FIXED derandomized
+    profile so CI cost is bounded and failures replay."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from transilien_api_etl_spark.operators.components import connected_components
+
+    edges_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=edges_strategy)
+    def check(edges):
+        expected = _union_find_components(edges)
+        if not expected:  # all self-loops: operator returns an empty frame
+            assert connected_components(
+                spark.createDataFrame(edges, "s long, d long"), "s", "d"
+            ).count() == 0
+            return
+        got = {
+            r["node"]: r["cluster"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "s long, d long"), "s", "d"
+            ).collect()
+        }
+        assert got == expected
+
+    check()
