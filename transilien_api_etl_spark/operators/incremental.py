@@ -199,12 +199,17 @@ def merge_seen_dedup(
     training-data pipeline's front door): a row whose content digest was
     appended by ANY earlier batch is dropped; within a batch the survivor
     is the smallest ``order_col``. Exactly-once under foreachBatch crash
-    replays: rows land partitioned by ``_batch``, so the replay check is a
-    partition-directory listing (no data read), and a batch id ≤ the
-    stored maximum is a no-op. Scale posture: the anti-join probes the
-    stored side on its digest column only (column-pruned scan); at 100 TB
-    the digest store would additionally bucket by digest prefix so the
-    probe prunes files — the batch side is always micro-batch-sized.
+    replays: rows land partitioned by ``_batch``. A batch id strictly
+    below the stored maximum is a no-op (a later batch started, so this
+    one's streaming commit had succeeded). A batch id EQUAL to the
+    stored maximum is the crash-replay case — its partition may hold
+    only part of the batch (crash mid job-commit) — so the
+    possibly-partial ``_batch=<id>`` directory is deleted and the batch
+    rewritten against strictly-earlier batches only. Scale posture: the
+    anti-join probes the stored side on its digest column only
+    (column-pruned, partition-pruned scan); at 100 TB the digest store
+    would additionally bucket by digest prefix so the probe prunes files
+    — the batch side is always micro-batch-sized.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
@@ -218,16 +223,27 @@ def merge_seen_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    stored = None
     try:
         stored = spark.read.parquet(path)
+    except AnalysisException as e:
+        # Only a missing path means "first batch"; a schema/column error
+        # must surface, not silently skip cross-batch dedup.
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if (cond or "") != "PATH_NOT_FOUND":
+            raise
+    if stored is not None:
         applied = stored.agg(F.max("_batch")).first()[0]
-        if applied is not None and batch_id >= 0 and batch_id <= applied:
-            return  # replayed batch: its rows are already in the corpus
-        fresh = fresh.join(
-            stored.select("_digest"), "_digest", "left_anti"
-        )
-    except AnalysisException:
-        pass  # first batch: everything is first-seen
+        if applied is not None and 0 <= batch_id < applied:
+            return  # older batch: fully committed before a later one started
+        if applied is not None and batch_id == applied:
+            # Crash-replay of the newest batch: its partition may be
+            # partial — drop it; the append below rewrites the batch.
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_batch={batch_id}")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        probe = stored.filter(F.col("_batch") < batch_id) if batch_id >= 0 else stored
+        fresh = fresh.join(probe.select("_digest"), "_digest", "left_anti")
     (
         fresh.withColumn("_batch", F.lit(batch_id).cast("long"))
         .write.mode("append")

@@ -37,11 +37,15 @@ shape is identical.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
+import math
 import os
+import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +63,43 @@ class Snapshot:
     version: int
     key_cols: tuple[str, ...]
     files: tuple[dict, ...]  # {"path": rel, "rows": int, "min_key": v, "max_key": v}
+    # Full column list of the snapshot (None on pre-upgrade manifests —
+    # derived then via a mergeSchema footer read). Recording it here is what
+    # makes schema evolution survive merges that touch only old-schema files.
+    columns: tuple[str, ...] | None = None
+    # Streaming batch ids applied up to this version — part of the manifest
+    # so replay protection commits atomically with the data (no side ledger).
+    batches: tuple[int, ...] = field(default=())
+
+
+def _stat_bound(v, *, lower: bool):
+    """JSON-safe, order-preserving encoding of a key stat.
+
+    int/float/str/bool/None pass through. datetime/date encode as
+    fixed-width ISO strings (lexicographic == chronological). Decimal
+    converts to float widened one ulp outward (``lower`` widens down for
+    min stats / range lows, up for max stats / range highs) so lossy
+    rounding can only make pruning conservative, never wrong. Query-side
+    bounds must be encoded with the same function before comparing
+    against stored stats."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf) if lower else math.nextafter(f, math.inf)
+    raise ValueError(f"unsupported merge-key stat type {type(v).__name__}")
+
+
+def _file_overlaps(e: dict, lo_s, hi_s) -> bool:
+    """True if the file's [min,max] key range can intersect [lo_s, hi_s].
+    Files with NULL stats (all-null key column) are never prunable."""
+    if e["min_key"] is None or e["max_key"] is None:
+        return True
+    return not (e["max_key"] < lo_s or e["min_key"] > hi_s)
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -84,7 +125,14 @@ def load_snapshot(table: str, version: int | None = None) -> Snapshot:
             raise FileNotFoundError(f"no committed version under {table}")
     with open(_manifest_path(table, version), encoding="utf-8") as f:
         m = json.load(f)
-    return Snapshot(version, tuple(m["key_cols"]), tuple(m["files"]))
+    cols = m.get("columns")
+    return Snapshot(
+        version,
+        tuple(m["key_cols"]),
+        tuple(m["files"]),
+        tuple(cols) if cols is not None else None,
+        tuple(m.get("batches", ())),
+    )
 
 
 def _write_data_files(df: DataFrame, table: str, key_cols: list[str]) -> list[dict]:
@@ -113,20 +161,41 @@ def _write_data_files(df: DataFrame, table: str, key_cols: list[str]) -> list[di
             {
                 "path": rel,
                 "rows": row["rows"],
-                "min_key": row["min_key"],
-                "max_key": row["max_key"],
+                "min_key": _stat_bound(row["min_key"], lower=True),
+                "max_key": _stat_bound(row["max_key"], lower=False),
             }
         )
     return entries
 
 
-def _commit(table: str, version: int, key_cols: list[str], files: list[dict]) -> None:
+def _discard_staged(table: str, entries: list[dict]) -> None:
+    """Best-effort removal of a losing writer's staged batch dirs so a
+    lost commit CAS doesn't orphan data files forever (vacuum's orphan
+    sweep is the backstop for crashes that skip this)."""
+    for d in {os.path.dirname(os.path.join(table, e["path"])) for e in entries}:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _commit(
+    table: str,
+    version: int,
+    key_cols: list[str],
+    files: list[dict],
+    *,
+    columns: list[str] | None = None,
+    batches: tuple[int, ...] | list[int] = (),
+) -> None:
     """Atomic create-if-absent publish of manifest ``version``."""
     os.makedirs(os.path.join(table, _LOG), exist_ok=True)
     final = _manifest_path(table, version)
     tmp = final + f".{uuid.uuid4().hex}.tmp"
+    manifest = {"version": version, "key_cols": key_cols, "files": files}
+    if columns is not None:
+        manifest["columns"] = list(columns)
+    if batches:
+        manifest["batches"] = sorted(batches)
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": version, "key_cols": key_cols, "files": files}, f)
+        json.dump(manifest, f)
     try:
         os.link(tmp, final)  # fails with EEXIST if a rival writer won
     except FileExistsError as e:
@@ -141,7 +210,11 @@ def create_table(
     spark: SparkSession, table: str, df: DataFrame, key_cols: list[str]
 ) -> Snapshot:
     entries = _write_data_files(df, table, key_cols)
-    _commit(table, 0, key_cols, entries)
+    try:
+        _commit(table, 0, key_cols, entries, columns=df.columns)
+    except ConcurrentWriteError:
+        _discard_staged(table, entries)
+        raise
     return load_snapshot(table, 0)
 
 
@@ -165,7 +238,9 @@ def read_table(
     files = list(snap.files)
     if key_between is not None:
         lo, hi = key_between
-        files = [e for e in files if not (e["max_key"] < lo or e["min_key"] > hi)]
+        lo_s = _stat_bound(lo, lower=True)
+        hi_s = _stat_bound(hi, lower=False)
+        files = [e for e in files if _file_overlaps(e, lo_s, hi_s)]
         if not files:
             # Preserve the schema: scan one file's footer, return 0 rows.
             any_file = os.path.join(table, snap.files[0]["path"])
@@ -201,6 +276,7 @@ def merge_into(
     *,
     delete_col: str | None = None,
     max_retries: int = 3,
+    txn_batch_id: int | None = None,
 ) -> Snapshot:
     """Transactional MERGE of ``source`` into ``table`` on its key columns.
 
@@ -209,17 +285,36 @@ def merge_into(
     - WHEN NOT MATCHED [AND NOT <delete_col>] THEN INSERT *
 
     ``source`` must be key-unique (the SCD2 lesson: enforce, don't corrupt)
-    — violated input raises before anything is written.
+    — violated input raises before anything is written. ``txn_batch_id``
+    records a streaming batch id inside the committed manifest, atomically
+    with the data (the exactly-once hook ``stream_merge_sink`` relies on).
+    An empty source is a no-op returning the current snapshot.
     """
     for attempt in range(max_retries + 1):
         snap = load_snapshot(table)
         try:
-            return _merge_once(spark, table, source, snap, delete_col)
+            return _merge_once(spark, table, source, snap, delete_col, txn_batch_id)
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise
             time.sleep(0.05 * (attempt + 1))
     raise AssertionError("unreachable")
+
+
+def _snapshot_columns(spark: SparkSession, table: str, snap: Snapshot) -> list[str]:
+    """Full column list of a snapshot: recorded in the manifest since the
+    schema-evolution fix; for pre-upgrade manifests, derived from a
+    mergeSchema footer read over ALL files (files[0] alone would silently
+    drop columns added by a later evolution from every rewritten file)."""
+    if snap.columns is not None:
+        return list(snap.columns)
+    if not snap.files:
+        return []
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, e["path"]) for e in snap.files])
+        .columns
+    )
 
 
 def _merge_once(
@@ -228,6 +323,7 @@ def _merge_once(
     source: DataFrame,
     snap: Snapshot,
     delete_col: str | None,
+    txn_batch_id: int | None = None,
 ) -> Snapshot:
     key_cols = list(snap.key_cols)
     k = key_cols[0]
@@ -240,10 +336,16 @@ def _merge_once(
     # get rewritten. One tiny agg on the source drives the split.
     bounds = source.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
-    touched = [
-        e for e in snap.files if not (e["max_key"] < lo or e["min_key"] > hi)
-    ]
-    untouched = [e for e in snap.files if (e["max_key"] < lo or e["min_key"] > hi)]
+    if lo is None or hi is None:
+        # Empty source (or all-null keys): nothing can match or insert.
+        # Routine under foreachBatch, which delivers empty micro-batches.
+        if source.head(1):
+            raise ValueError("merge source keys are all NULL")
+        return snap
+    lo_s = _stat_bound(lo, lower=True)
+    hi_s = _stat_bound(hi, lower=False)
+    touched = [e for e in snap.files if _file_overlaps(e, lo_s, hi_s)]
+    untouched = [e for e in snap.files if not _file_overlaps(e, lo_s, hi_s)]
 
     src_cols = [c for c in source.columns if c != delete_col]
     missing_keys = [c for c in key_cols if c not in src_cols]
@@ -262,12 +364,7 @@ def _merge_once(
     # mergeSchema); target-only columns are RETAINED on updated rows and
     # NULL on inserts — Delta's WHEN MATCHED UPDATE SET * semantics under
     # automatic schema merge.
-    if snap.files:
-        tbl_cols = spark.read.parquet(
-            os.path.join(table, snap.files[0]["path"])
-        ).columns
-    else:
-        tbl_cols = []
+    tbl_cols = _snapshot_columns(spark, table, snap)
     all_data_cols = [c for c in tbl_cols if c not in key_cols] + [
         c for c in src_cols if c not in tbl_cols and c not in key_cols
     ]
@@ -311,7 +408,21 @@ def _merge_once(
         )
 
     new_entries = _write_data_files(merged, table, key_cols) if merged.head(1) else []
-    _commit(table, snap.version + 1, key_cols, untouched + new_entries)
+    batches = set(snap.batches)
+    if txn_batch_id is not None:
+        batches.add(txn_batch_id)
+    try:
+        _commit(
+            table,
+            snap.version + 1,
+            key_cols,
+            untouched + new_entries,
+            columns=key_cols + all_data_cols,
+            batches=tuple(batches),
+        )
+    except ConcurrentWriteError:
+        _discard_staged(table, new_entries)
+        raise
     return load_snapshot(table, snap.version + 1)
 
 
@@ -345,10 +456,26 @@ def compact(
     if len(rewrite) <= 1:
         return snap  # nothing to compact
     k = list(snap.key_cols)[0]
-    df = spark.read.parquet(*[os.path.join(table, e["path"]) for e in rewrite])
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table, e["path"]) for e in rewrite])
+    )
     packed = df.repartitionByRange(target_files, F.col(k))
     entries = _write_data_files(packed, table, list(snap.key_cols))
-    _commit(table, snap.version + 1, list(snap.key_cols), keep + entries)
+    try:
+        # Carry columns AND applied-batch ids forward: a compaction between
+        # two streaming merges must not reset the replay-protection set.
+        _commit(
+            table,
+            snap.version + 1,
+            list(snap.key_cols),
+            keep + entries,
+            columns=_snapshot_columns(spark, table, snap),
+            batches=snap.batches,
+        )
+    except ConcurrentWriteError:
+        _discard_staged(table, entries)
+        raise
     return load_snapshot(table, snap.version + 1)
 
 

@@ -49,15 +49,24 @@ def upsert_by_key(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
-    merged = df
+    existing = None
     try:
         existing = spark.read.parquet(path)
+    except AnalysisException as e:
+        # Only a missing path means "first write". Anything else (e.g. a
+        # schema/column mismatch) must surface: swallowing it would make
+        # `merged = df` alone and the overwrite below would silently drop
+        # every existing key not present in the incoming batch.
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if (cond or "") != "PATH_NOT_FOUND":
+            raise
+    if existing is None:
+        merged = df
+    else:
         if partition_cols:
             touched = df.select(*partition_cols).distinct()
             existing = existing.join(F.broadcast(touched), partition_cols, "left_semi")
         merged = existing.select(*df.columns).localCheckpoint(eager=True).unionByName(df)
-    except AnalysisException:  # first write: nothing to merge
-        pass
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
