@@ -74,6 +74,36 @@ def test_incremental_dedup_equals_batch_and_replay_is_noop(spark, tmp_path):
     assert {r.event_id for r in read_seen_dedup(spark, path).collect()} == before
 
 
+def test_first_batch_tolerates_preexisting_empty_dir(spark, tmp_path):
+    """Round-4 regression: the registered query pre-creates the corpus dir
+    (tempfile.mkdtemp), so batch 0 reads an existing-but-EMPTY dir and gets
+    UNABLE_TO_INFER_SCHEMA instead of PATH_NOT_FOUND. Both shapes must be
+    treated as 'no committed corpus' — but a dir with unreadable content
+    must still raise."""
+    path = str(tmp_path / "pre_created")
+    import os
+
+    os.makedirs(path)  # exists, empty — the mkdtemp shape
+    b0 = spark.createDataFrame(
+        [(1, 10, "view", 1.0), (2, 10, "view", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    merge_seen_dedup(b0, 0, path, CONTENT, "event_id")
+    assert {r.event_id for r in read_seen_dedup(spark, path).collect()} == {1}
+
+    # a NON-empty dir that still can't be read as parquet must raise
+    # (footer errors may surface as SparkException or AnalysisException
+    # depending on the inference path — either way, not swallowed)
+    import pytest
+
+    bad = str(tmp_path / "bad_corpus")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "junk.txt"), "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        merge_seen_dedup(b0, 1, bad, CONTENT, "event_id")
+
+
 def test_cross_batch_duplicate_loses_to_earlier_copy(spark, tmp_path):
     path = str(tmp_path / "corpus2")
     b0 = spark.createDataFrame(

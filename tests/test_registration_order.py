@@ -78,6 +78,20 @@ def test_first_50_all_have_oracles_whatever_the_round():
     assert weak == [], weak
 
 
+def test_green_half_reverifies_stalest_first():
+    """VERDICT r4 task 7: once every query is green, the driver's 50-cap
+    must land on the queries whose last green is OLDEST — the green half
+    of the registration order is sorted by last-green round ascending."""
+    from transilien_api_etl_spark.plans import _green_rounds
+
+    greens = _green_rounds()
+    rounds = [greens[n] for n in REGISTRY if n in greens]
+    assert rounds == sorted(rounds), (
+        "green-checked queries must register in ascending last-green-round "
+        "order so each round re-verifies the stalest window"
+    )
+
+
 def test_green_checked_latest_round_wins(tmp_path):
     """ADVICE r3: a query that regresses AFTER once passing must be
     un-greened (most recent CORRECTNESS record wins), so it rotates back

@@ -227,10 +227,21 @@ def merge_seen_dedup(
     try:
         stored = spark.read.parquet(path)
     except AnalysisException as e:
-        # Only a missing path means "first batch"; a schema/column error
-        # must surface, not silently skip cross-batch dedup.
+        # Two first-batch shapes exist: the path does not exist yet
+        # (PATH_NOT_FOUND), or a caller pre-created an EMPTY directory
+        # (e.g. tempfile.mkdtemp) and the read raises
+        # UNABLE_TO_INFER_SCHEMA. Both mean "no committed corpus".
+        # Any other analysis error (schema/column drift, a non-empty dir
+        # that still can't be read) must surface, not silently skip
+        # cross-batch dedup.
         cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
-        if (cond or "") != "PATH_NOT_FOUND":
+        cond = cond or ""
+        empty_dir = (
+            cond == "UNABLE_TO_INFER_SCHEMA"
+            and os.path.isdir(path)
+            and not os.listdir(path)
+        )
+        if cond != "PATH_NOT_FOUND" and not empty_dir:
             raise
     if stored is not None:
         applied = stored.agg(F.max("_batch")).first()[0]

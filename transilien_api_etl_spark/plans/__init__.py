@@ -161,8 +161,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
 )
 
 
-def _green_checked(repo: str | None = None) -> set[str]:
-    """Queries that already hold a usable driver correctness row.
+def _green_rounds(repo: str | None = None) -> dict[str, int]:
+    """Map each green-checked query to the ROUND of its most recent green.
 
     A row counts as green when its hash matched, or when the driver
     recorded ``no_oracle`` for a query that (still) has no oracle —
@@ -189,10 +189,11 @@ def _green_checked(repo: str | None = None) -> set[str]:
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", _os.path.basename(path))
         return int(m.group(1)) if m else -1
 
-    last: dict[str, bool] = {}
+    last: dict[str, int | None] = {}
     for path in sorted(
         _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_num
     ):
+        rnd = _round_num(path)
         try:
             with open(path, encoding="utf-8") as fh:
                 data = _json.load(fh)
@@ -202,14 +203,19 @@ def _green_checked(repo: str | None = None) -> set[str]:
             if not isinstance(rec, dict):
                 continue
             if rec.get("hash_match") is True:
-                last[name] = True
+                last[name] = rnd
             elif rec.get("err") == "no_oracle" and not (
                 name in REGISTRY and REGISTRY[name].oracle
             ):
-                last[name] = True
+                last[name] = rnd
             else:
-                last[name] = False
-    return {name for name, ok in last.items() if ok}
+                last[name] = None
+    return {name: rnd for name, rnd in last.items() if rnd is not None}
+
+
+def _green_checked(repo: str | None = None) -> set[str]:
+    """Queries that already hold a usable driver correctness row."""
+    return set(_green_rounds(repo))
 
 
 def _reorder_registry() -> None:
@@ -223,10 +229,15 @@ def _reorder_registry() -> None:
     if missing:
         raise RuntimeError(f"driver-window names not registered: {missing}")
     base = [*priority, *[n for n in REGISTRY if n not in set(priority)]]
-    green = _green_checked()
-    ordered_names = [n for n in base if n not in green] + [
-        n for n in base if n in green
-    ]
+    greens = _green_rounds()
+    base_idx = {n: i for i, n in enumerate(base)}
+    # Green half re-verifies STALEST-FIRST: once every query has been
+    # checked at least once, each round's 50-cap lands on the 50 whose
+    # last green is oldest (VERDICT r4 task 7), so driver coverage keeps
+    # cycling instead of re-checking the same recent window forever.
+    ordered_names = [n for n in base if n not in greens] + sorted(
+        (n for n in base if n in greens), key=lambda n: (greens[n], base_idx[n])
+    )
     ordered = {n: REGISTRY[n] for n in ordered_names}
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -6,6 +6,7 @@ batch == stream results is a property we *verify*, not assume (SURVEY §6.3).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -490,7 +491,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    corpus_dir = tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_")
+    # A NOT-yet-existing subpath: mkdtemp pre-creating the corpus dir made
+    # batch 0 read an existing-empty dir (UNABLE_TO_INFER_SCHEMA), which
+    # merge_seen_dedup used to re-raise, killing the stream (round-4 red).
+    corpus_dir = os.path.join(
+        tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_"), "corpus"
+    )
     run_stream_foreach_batch(
         s,
         lambda df, bid: merge_seen_dedup(
