@@ -207,6 +207,70 @@ def main() -> None:
         }
         if skipped:
             result["scale"]["skipped"] = skipped
+
+        # Phase 2c — bucketed-at-rest facts (DEPLOY.md's prescribed 100 TB
+        # layout, promoted from scripts/bucketed_facts_ab.py per VERDICT r4):
+        # lineitem/orders live as external bucketed tables clustered+sorted
+        # on the order key, and io.load_table reads them via the
+        # spark.graft.bucketedTables conf — the SAME registered plan
+        # functions then run with the fact⋈fact exchange deleted. The
+        # one-time clustered write is cached next to the scale cache and
+        # kept OUT of the timed section.
+        if remaining() > 120:
+            from transilien_api_etl_spark.io import (
+                BUCKETED_TABLES_CONF,
+                load_table,
+            )
+            from transilien_api_etl_spark.sources.sinks import (
+                ensure_bucketed_external,
+            )
+
+            bucket_dir = os.path.join(os.path.dirname(SCALE_DIR), "bucketed_v2")
+            t0 = time.perf_counter()
+            for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+                ensure_bucketed_external(
+                    spark,
+                    load_table(spark, SCALE_DIR, table),
+                    f"{table}_bucketed",
+                    os.path.join(bucket_dir, table),
+                    [key],
+                    n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    sort_cols=[key],
+                )
+            print(
+                f"# bucketed facts ready in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            bucket_specs = {
+                q: specs[q]
+                for q in ("q3_shipping_priority", "q5_local_supplier")
+                if q in specs
+            }
+            prev_order = spark.conf.get(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering"
+            )
+            spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+            try:
+                bspark_t = time_spark(
+                    bucket_specs, spark, SCALE_DIR, reps=3, skipped=skipped
+                )
+            finally:
+                spark.conf.set(BUCKETED_TABLES_CONF, "")
+                spark.conf.set(
+                    "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                    prev_order,
+                )
+            result["scale"]["bucketed"] = {
+                "spark": bspark_t,
+                "ratio": {
+                    q: round(bspark_t[q] / duck_t[q], 3)
+                    for q in bspark_t
+                    if q in duck_t
+                },
+            }
     elif RUN_SCALE:
         result["scale_skipped"] = "budget exhausted before scale phase"
     result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)

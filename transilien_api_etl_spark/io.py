@@ -183,8 +183,26 @@ def _events_ts_is_nanos(path: str) -> bool:
     return _TS_IS_NANOS_CACHE[path]
 
 
+# Runtime conf holding a comma-separated list of table names whose reads
+# should come from the catalog's `<name>_bucketed` table instead of plain
+# parquet. This is the DEPLOY.md at-rest layout made the default read path:
+# set it once (bench.py's bucketed phase, or a production session over a
+# bucketed warehouse) and every registered query's fact scans pick up the
+# pre-shuffled layout with zero query changes.
+BUCKETED_TABLES_CONF = "spark.graft.bucketedTables"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan with a declared schema (S1)."""
+    """Parquet scan with a declared schema (S1); catalog-bucketed override.
+
+    When ``spark.graft.bucketedTables`` lists ``name``, the scan reads the
+    managed/external bucketed table ``<name>_bucketed`` — same rows, but
+    hash-clustered on the join key at rest, so the fact⋈fact exchanges
+    vanish (tests/test_bucketed_join.py gates the zero-Exchange property).
+    """
+    bucketed = spark.conf.get(BUCKETED_TABLES_CONF, "") or ""
+    if name in {t for t in bucketed.split(",") if t}:
+        return spark.table(f"{name}_bucketed")
     path = table_path(sf_dir, name)
     if name == "events" and _events_ts_is_nanos(path):
         # Session invariant (also pinned in build_session/ensure_query_confs):

@@ -150,6 +150,83 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def ensure_bucketed_external(
+    spark: SparkSession,
+    src: DataFrame,
+    table: str,
+    location: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> bool:
+    """Idempotently materialize ``src`` as an EXTERNAL bucketed table.
+
+    The expensive part of a bucketed layout is the one-time clustered
+    write; the catalog entry is metadata. Under Spark's default in-memory
+    catalog the entry dies with the session while the files survive, so a
+    fresh session over an already-written location only needs a
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL (bucket ids are
+    carried in the file names, so the scan re-associates files to buckets
+    with no data movement). A ``_BUCKET_SPEC.json`` marker records the
+    layout; a spec mismatch (bucket count/cols changed) forces a rewrite
+    instead of silently serving a stale clustering.
+
+    Returns True when the data was (re)written, False when only the
+    catalog entry was refreshed — callers can keep the write out of their
+    timed sections.
+    """
+    import json
+    import os
+    import shutil
+
+    spec = {
+        "bucket_cols": list(bucket_cols),
+        "n_buckets": n_buckets,
+        "sort_cols": list(sort_cols or []),
+        "layout": "one_file_per_bucket_v2",
+    }
+    marker = os.path.join(location, "_BUCKET_SPEC.json")
+    committed = os.path.isfile(os.path.join(location, "_SUCCESS"))
+    spec_ok = False
+    if committed and os.path.isfile(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                spec_ok = json.load(fh) == spec
+        except (OSError, ValueError):
+            spec_ok = False
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if committed and spec_ok:
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        sorted_by = (
+            f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) {sorted_by}"
+            f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
+        )
+        return False
+
+    shutil.rmtree(location, ignore_errors=True)
+    # same aligned repartition as write_bucketed: one file per bucket, so
+    # the sorted-bucket scan ordering stays trustworthy
+    df = src.repartition(n_buckets, *[src[c] for c in bucket_cols])
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", location)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+    with open(marker, "w", encoding="utf-8") as fh:
+        json.dump(spec, fh)
+    return True
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,
