@@ -205,9 +205,6 @@ def main() -> None:
             "ratio": ratio,
             "ratio_median": round(statistics.median(ratio.values()), 3) if ratio else None,
         }
-        if skipped:
-            result["scale"]["skipped"] = skipped
-
         # Phase 2c — bucketed-at-rest facts (DEPLOY.md's prescribed 100 TB
         # layout, promoted from scripts/bucketed_facts_ab.py per VERDICT r4):
         # lineitem/orders live as external bucketed tables clustered+sorted
@@ -271,6 +268,8 @@ def main() -> None:
                     if q in duck_t
                 },
             }
+        if skipped:
+            result["scale"]["skipped"] = skipped
     elif RUN_SCALE:
         result["scale_skipped"] = "budget exhausted before scale phase"
     result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
