@@ -158,7 +158,72 @@ def test_ensure_bucketed_external_idempotent_and_load_table_override(
     assert ensure_bucketed_external(
         spark, src, "orders_bucketed", loc, ["o_orderkey"], 8, ["o_orderkey"]
     ) is True
+
+    # a corrupt spec marker must also force a rewrite, not crash or
+    # silently trust an unknown layout
+    import os
+
+    with open(os.path.join(loc, "_BUCKET_SPEC.json"), "w") as fh:
+        fh.write("{not json")
+    assert ensure_bucketed_external(
+        spark, src, "orders_bucketed", loc, ["o_orderkey"], 8, ["o_orderkey"]
+    ) is True
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_registered_q3_q5_under_bucketed_conf_match_plain(spark, tmp_path_factory):
+    """Gate the exact path bench.py phase 2c grades: the REGISTERED q3/q5
+    plan functions, with lineitem/orders rerouted to bucketed tables via
+    spark.graft.bucketedTables, must produce hash-identical results to the
+    plain parquet run and fewer Exchange nodes."""
+    from transilien_api_etl_spark.io import BUCKETED_TABLES_CONF
+    from transilien_api_etl_spark.plans.registry import REGISTRY
+    from transilien_api_etl_spark.sources.sinks import ensure_bucketed_external
+
+    base = tmp_path_factory.mktemp("bq35")
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        ensure_bucketed_external(
+            spark,
+            load_table(spark, SF, table),
+            f"{table}_bucketed",
+            str(base / table),
+            [key],
+            4,
+            [key],
+        )
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # At sf0.001 Catalyst would broadcast a FACT side (orders fits under
+    # the threshold), masking the fact⋈fact shuffle the bucketing deletes
+    # at real scale. Disable auto-broadcast for BOTH variants: the
+    # explicit F.broadcast dim hints in the plans are unaffected, so this
+    # models the 100 TB plan shape where neither fact broadcasts.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for qname in ("q3_shipping_priority", "q5_local_supplier"):
+            fn = REGISTRY[qname].fn
+            plain_rows = [tuple(r) for r in fn(spark, SF).collect()]
+            plain_ex = len(re.findall(r"\(\d+\) Exchange", _plan(fn(spark, SF))))
+            spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                bucketed_rows = [tuple(r) for r in fn(spark, SF).collect()]
+                bucketed_ex = len(
+                    re.findall(r"\(\d+\) Exchange", _plan(fn(spark, SF)))
+                )
+            finally:
+                spark.conf.set(BUCKETED_TABLES_CONF, "")
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            assert bucketed_rows == plain_rows, qname
+            assert bucketed_ex < plain_ex, (
+                f"{qname}: bucketed plan has {bucketed_ex} exchanges, "
+                f"plain has {plain_ex} — layout not picked up"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    for name in ("lineitem_bucketed", "orders_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_bucketed_join_results_match_plain(spark, bucketed_facts):
