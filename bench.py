@@ -80,11 +80,13 @@ def sf_from_dir(path: str) -> float:
 SLOW_QUERY_CUTOFF_S = 5.0
 
 
-def time_spark(specs, spark, data_dir, reps, skipped=None) -> dict[str, float]:
+def time_spark(
+    specs, spark, data_dir, reps, skipped=None, skip_label="spark"
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in sorted(specs):
         if skipped is not None and remaining() <= 30:
-            skipped.append(f"spark:{name}")
+            skipped.append(f"{skip_label}:{name}")
             continue
         best, n = float("inf"), 0
         # Best-of-N measures the plan, not JIT/GC noise. The slow-query
@@ -215,6 +217,7 @@ def main() -> None:
         # kept OUT of the timed section.
         if remaining() > 120:
             from transilien_api_etl_spark.io import (
+                BUCKETED_DIR_CONF,
                 BUCKETED_TABLES_CONF,
                 load_table,
             )
@@ -222,7 +225,11 @@ def main() -> None:
                 ensure_bucketed_external,
             )
 
-            bucket_dir = os.path.join(os.path.dirname(SCALE_DIR), "bucketed_v2")
+            # Keyed to the scale cache's factor-string dir name, so a
+            # factor change (new SCALE_DIR) gets its own bucketed copy;
+            # source_id in the spec marker additionally forces a rewrite
+            # if this dir is ever re-pointed at different source data.
+            bucket_dir = SCALE_DIR.rstrip("/") + "_bucketed_v2"
             t0 = time.perf_counter()
             for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
                 ensure_bucketed_external(
@@ -233,6 +240,7 @@ def main() -> None:
                     [key],
                     n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                     sort_cols=[key],
+                    source_id=os.path.abspath(SCALE_DIR),
                 )
             print(
                 f"# bucketed facts ready in {time.perf_counter() - t0:.1f}s",
@@ -247,15 +255,22 @@ def main() -> None:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering"
             )
             spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+            spark.conf.set(BUCKETED_DIR_CONF, SCALE_DIR)
             spark.conf.set(
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
             try:
                 bspark_t = time_spark(
-                    bucket_specs, spark, SCALE_DIR, reps=3, skipped=skipped
+                    bucket_specs,
+                    spark,
+                    SCALE_DIR,
+                    reps=3,
+                    skipped=skipped,
+                    skip_label="spark-bucketed",
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
+                spark.conf.set(BUCKETED_DIR_CONF, "")
                 spark.conf.set(
                     "spark.sql.legacy.bucketedTableScan.outputOrdering",
                     prev_order,
@@ -268,6 +283,8 @@ def main() -> None:
                     if q in duck_t
                 },
             }
+        else:
+            skipped.append("bucketed-phase:budget")
         if skipped:
             result["scale"]["skipped"] = skipped
     elif RUN_SCALE:

@@ -128,14 +128,22 @@ def test_ensure_bucketed_external_idempotent_and_load_table_override(
     ) is False
     assert spark.table("orders_bucketed").count() == src.count()
 
-    # conf-gated load_table override serves the catalog table. Pin
-    # shuffle.partitions to the bucket count: the one-sided-exchange plan
-    # needs the probe side's shuffle target to equal the at-rest bucket
-    # count (bench aligns both at SPARK_GRAFT_CPUS).
+    # conf-gated load_table override serves the catalog table — only for
+    # the dataset dir it was built from. Pin shuffle.partitions to the
+    # bucket count: the one-sided-exchange plan needs the probe side's
+    # shuffle target to equal the at-rest bucket count (bench aligns both
+    # at SPARK_GRAFT_CPUS).
+    from transilien_api_etl_spark.io import BUCKETED_DIR_CONF
+
     spark.conf.set(BUCKETED_TABLES_CONF, "orders")
+    spark.conf.set(BUCKETED_DIR_CONF, SF)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # dataset scoping: a DIFFERENT sf_dir must keep its own parquet
+        other = load_table(spark, "/root/testdata/sf0.01", "orders")
+        assert "Bucketed: true" not in _plan(other)
+
         df = load_table(spark, SF, "orders")
         with _bucket_join_confs(spark):
             line = load_table(spark, SF, "lineitem")
@@ -152,6 +160,7 @@ def test_ensure_bucketed_external_idempotent_and_load_table_override(
             assert "Bucketed: true" in plan, plan
     finally:
         spark.conf.set(BUCKETED_TABLES_CONF, "")
+        spark.conf.set(BUCKETED_DIR_CONF, "")
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # spec drift (different bucket count) must force a rewrite
@@ -176,7 +185,7 @@ def test_registered_q3_q5_under_bucketed_conf_match_plain(spark, tmp_path_factor
     plan functions, with lineitem/orders rerouted to bucketed tables via
     spark.graft.bucketedTables, must produce hash-identical results to the
     plain parquet run and fewer Exchange nodes."""
-    from transilien_api_etl_spark.io import BUCKETED_TABLES_CONF
+    from transilien_api_etl_spark.io import BUCKETED_DIR_CONF, BUCKETED_TABLES_CONF
     from transilien_api_etl_spark.plans.registry import REGISTRY
     from transilien_api_etl_spark.sources.sinks import ensure_bucketed_external
 
@@ -206,6 +215,7 @@ def test_registered_q3_q5_under_bucketed_conf_match_plain(spark, tmp_path_factor
             plain_rows = [tuple(r) for r in fn(spark, SF).collect()]
             plain_ex = len(re.findall(r"\(\d+\) Exchange", _plan(fn(spark, SF))))
             spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+            spark.conf.set(BUCKETED_DIR_CONF, SF)
             spark.conf.set("spark.sql.shuffle.partitions", "4")
             try:
                 bucketed_rows = [tuple(r) for r in fn(spark, SF).collect()]
@@ -214,6 +224,7 @@ def test_registered_q3_q5_under_bucketed_conf_match_plain(spark, tmp_path_factor
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
+                spark.conf.set(BUCKETED_DIR_CONF, "")
                 spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
             assert bucketed_rows == plain_rows, qname
             assert bucketed_ex < plain_ex, (

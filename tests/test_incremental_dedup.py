@@ -104,6 +104,26 @@ def test_first_batch_tolerates_preexisting_empty_dir(spark, tmp_path):
         merge_seen_dedup(b0, 1, bad, CONTENT, "event_id")
 
 
+def test_empty_first_batch_leaves_recoverable_corpus(spark, tmp_path):
+    """An EMPTY batch 0 commits only _SUCCESS (no partition dirs, no
+    parquet) — the next batch's corpus read raises UNABLE_TO_INFER_SCHEMA
+    over a non-empty dir, which must still count as 'no corpus yet'
+    (committer artifacts are not data), not kill the stream."""
+    path = str(tmp_path / "corpus_empty_b0")
+    schema = "event_id long, user_id long, event_type string, value double"
+    empty = spark.createDataFrame([], schema)
+    merge_seen_dedup(empty, 0, path, CONTENT, "event_id")
+    import os
+
+    assert os.path.isdir(path)  # committed, artifacts only
+
+    b1 = spark.createDataFrame(
+        [(5, 20, "view", 3.0), (6, 20, "view", 3.0)], schema
+    )
+    merge_seen_dedup(b1, 1, path, CONTENT, "event_id")
+    assert {r.event_id for r in read_seen_dedup(spark, path).collect()} == {5}
+
+
 def test_cross_batch_duplicate_loses_to_earlier_copy(spark, tmp_path):
     path = str(tmp_path / "corpus2")
     b0 = spark.createDataFrame(

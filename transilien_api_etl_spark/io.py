@@ -188,21 +188,31 @@ def _events_ts_is_nanos(path: str) -> bool:
 # parquet. This is the DEPLOY.md at-rest layout made the default read path:
 # set it once (bench.py's bucketed phase, or a production session over a
 # bucketed warehouse) and every registered query's fact scans pick up the
-# pre-shuffled layout with zero query changes.
+# pre-shuffled layout with zero query changes. The companion DIR conf is
+# MANDATORY and scopes the override to one source dataset: the bucketed
+# tables were built from exactly one sf_dir's rows, so a load_table call
+# against any other directory must keep reading that directory's parquet
+# — a global table-name toggle with no dataset identity would silently
+# serve the wrong rows to phase-1 bench queries, tests, or scale.py.
 BUCKETED_TABLES_CONF = "spark.graft.bucketedTables"
+BUCKETED_DIR_CONF = "spark.graft.bucketedTables.dir"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with a declared schema (S1); catalog-bucketed override.
 
-    When ``spark.graft.bucketedTables`` lists ``name``, the scan reads the
-    managed/external bucketed table ``<name>_bucketed`` — same rows, but
-    hash-clustered on the join key at rest, so the fact⋈fact exchanges
-    vanish (tests/test_bucketed_join.py gates the zero-Exchange property).
+    When ``spark.graft.bucketedTables`` lists ``name`` AND
+    ``spark.graft.bucketedTables.dir`` matches ``sf_dir``, the scan reads
+    the managed/external bucketed table ``<name>_bucketed`` — same rows,
+    but hash-clustered on the join key at rest, so the fact⋈fact
+    exchanges vanish (tests/test_bucketed_join.py gates both the
+    zero-Exchange property and the dataset scoping).
     """
     bucketed = spark.conf.get(BUCKETED_TABLES_CONF, "") or ""
     if name in {t for t in bucketed.split(",") if t}:
-        return spark.table(f"{name}_bucketed")
+        bdir = spark.conf.get(BUCKETED_DIR_CONF, "") or ""
+        if bdir and os.path.abspath(bdir) == os.path.abspath(sf_dir):
+            return spark.table(f"{name}_bucketed")
     path = table_path(sf_dir, name)
     if name == "events" and _events_ts_is_nanos(path):
         # Session invariant (also pinned in build_session/ensure_query_confs):

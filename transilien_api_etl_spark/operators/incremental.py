@@ -186,6 +186,28 @@ def read_additive_agg(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{current[1]}").drop("_last_batch")
 
 
+def _holds_no_data(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists but contains only writer artifacts.
+
+    A committed-but-empty corpus (an empty first micro-batch writes just
+    ``_SUCCESS``; a pre-created temp dir writes nothing) must read as
+    "no corpus yet". Names starting with ``_`` or ``.`` are committer/
+    metadata artifacts — with the one exception of ``_<col>=`` partition
+    directories (this store partitions by ``_batch``), which ARE data.
+    Uses the Hadoop FileSystem API so the answer is right on any
+    deployment filesystem (S3/HDFS), not just local disk.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return True
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if "=" in name or not name.startswith(("_", ".")):
+            return False
+    return True
+
+
 def merge_seen_dedup(
     batch_df: DataFrame,
     batch_id: int,
@@ -227,21 +249,23 @@ def merge_seen_dedup(
     try:
         stored = spark.read.parquet(path)
     except AnalysisException as e:
-        # Two first-batch shapes exist: the path does not exist yet
-        # (PATH_NOT_FOUND), or a caller pre-created an EMPTY directory
-        # (e.g. tempfile.mkdtemp) and the read raises
-        # UNABLE_TO_INFER_SCHEMA. Both mean "no committed corpus".
-        # Any other analysis error (schema/column drift, a non-empty dir
-        # that still can't be read) must surface, not silently skip
-        # cross-batch dedup.
+        # "First batch" has three shapes, all raising from the read:
+        # the path does not exist yet (PATH_NOT_FOUND); a caller
+        # pre-created an EMPTY directory (e.g. tempfile.mkdtemp); or an
+        # earlier EMPTY batch committed, leaving only writer artifacts
+        # (_SUCCESS) and no data files. The latter two raise
+        # UNABLE_TO_INFER_SCHEMA — tolerated only when the directory
+        # holds nothing but committer artifacts. Any other analysis
+        # error (schema/column drift, a dir with real content that still
+        # can't be read) must surface, not silently skip cross-batch
+        # dedup. The check goes through the Hadoop FileSystem API (like
+        # the replay delete below) so it is correct on S3/HDFS too, not
+        # just the local driver disk.
         cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
         cond = cond or ""
-        empty_dir = (
-            cond == "UNABLE_TO_INFER_SCHEMA"
-            and os.path.isdir(path)
-            and not os.listdir(path)
-        )
-        if cond != "PATH_NOT_FOUND" and not empty_dir:
+        if cond != "PATH_NOT_FOUND" and not (
+            cond == "UNABLE_TO_INFER_SCHEMA" and _holds_no_data(spark, path)
+        ):
             raise
     if stored is not None:
         applied = stored.agg(F.max("_batch")).first()[0]

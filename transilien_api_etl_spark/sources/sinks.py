@@ -121,6 +121,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     one_file_per_bucket: bool = True,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table (S6 scale variant): co-locates rows by hash of
     ``bucket_cols`` at write time so later joins/aggs on those keys read
@@ -136,12 +137,15 @@ def write_bucketed(
     cluster scale), and — because Spark only trusts bucket sort order when a
     bucket is a single file — downstream merge joins re-Sort, defeating
     ``sort_cols``. Disable only for single-shot writes of data already
-    partitioned on the key."""
+    partitioned on the key. ``path`` makes the table EXTERNAL at that
+    location instead of managed-in-warehouse."""
     if one_file_per_bucket:
         df = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
@@ -158,6 +162,7 @@ def ensure_bucketed_external(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    source_id: str | None = None,
 ) -> bool:
     """Idempotently materialize ``src`` as an EXTERNAL bucketed table.
 
@@ -168,8 +173,10 @@ def ensure_bucketed_external(
     ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL (bucket ids are
     carried in the file names, so the scan re-associates files to buckets
     with no data movement). A ``_BUCKET_SPEC.json`` marker records the
-    layout; a spec mismatch (bucket count/cols changed) forces a rewrite
-    instead of silently serving a stale clustering.
+    layout AND ``source_id`` (pass the source dataset's path or factor
+    string): a mismatch on either forces a rewrite instead of silently
+    serving a stale clustering — or worse, a clustering of a DIFFERENT
+    dataset after the caller re-points its source.
 
     Returns True when the data was (re)written, False when only the
     catalog entry was refreshed — callers can keep the write out of their
@@ -184,6 +191,7 @@ def ensure_bucketed_external(
         "n_buckets": n_buckets,
         "sort_cols": list(sort_cols or []),
         "layout": "one_file_per_bucket_v2",
+        "source_id": source_id,
     }
     marker = os.path.join(location, "_BUCKET_SPEC.json")
     committed = os.path.isfile(os.path.join(location, "_SUCCESS"))
@@ -211,17 +219,9 @@ def ensure_bucketed_external(
         return False
 
     shutil.rmtree(location, ignore_errors=True)
-    # same aligned repartition as write_bucketed: one file per bucket, so
-    # the sorted-bucket scan ordering stays trustworthy
-    df = src.repartition(n_buckets, *[src[c] for c in bucket_cols])
-    writer = (
-        df.write.mode("overwrite")
-        .option("path", location)
-        .bucketBy(n_buckets, *bucket_cols)
+    write_bucketed(
+        src, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=location
     )
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
     with open(marker, "w", encoding="utf-8") as fh:
         json.dump(spec, fh)
     return True
