@@ -104,6 +104,26 @@ def test_first_batch_tolerates_preexisting_empty_dir(spark, tmp_path):
         merge_seen_dedup(b0, 1, bad, CONTENT, "event_id")
 
 
+def test_null_position_does_not_collide_digests(spark, tmp_path):
+    """concat_ws would drop NULL columns, colliding ("a", NULL, 1.0) with
+    (NULL, "a", 1.0)-style rows; the prefix-coded digest must keep every
+    NULL-position-distinct row, while true duplicates (same NULLs) dedup."""
+    path = str(tmp_path / "corpus_nulls")
+    schema = "event_id long, user_id long, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [
+            (1, None, "x", 1.0),   # null in col 1
+            (2, 7, None, 1.0),     # null in col 2 — distinct from row 1
+            (3, 7, "x", None),     # null in col 3
+            (4, 7, "x", None),     # true duplicate of row 3
+        ],
+        schema,
+    )
+    merge_seen_dedup(b0, 0, path, CONTENT, "event_id")
+    got = {r.event_id for r in read_seen_dedup(spark, path).collect()}
+    assert got == {1, 2, 3}
+
+
 def test_empty_first_batch_leaves_recoverable_corpus(spark, tmp_path):
     """An EMPTY batch 0 commits only _SUCCESS (no partition dirs, no
     parquet) — the next batch's corpus read raises UNABLE_TO_INFER_SCHEMA

@@ -250,3 +250,113 @@ def test_stats_pruned_read_skips_files(spark):
     # Empty range: schema preserved, zero rows, zero data read beyond footer.
     empty = lh.read_table(spark, table, key_between=(500, 600))
     assert empty.count() == 0 and set(empty.columns) == {"id", "name", "v"}
+
+
+def test_full_delete_leaves_readable_empty_table(spark):
+    """A merge that deletes every row must publish a schema-bearing
+    snapshot: read_table returns 0 rows with the table schema instead of
+    crashing on a file-less manifest (round-5 review finding)."""
+    table = tempfile.mkdtemp(prefix="lakehouse-empty-")
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, v double")
+    lh.create_table(spark, table, df, ["id"])
+    src = spark.createDataFrame(
+        [(1, None, 0.0, True), (2, None, 0.0, True)],
+        "id long, name string, v double, is_delete boolean",
+    )
+    lh.merge_into(spark, table, src, delete_col="is_delete")
+    out = lh.read_table(spark, table)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "name", "v"}
+    # and pruned reads still work on the empty snapshot
+    assert lh.read_table(spark, table, key_between=(0, 10)).count() == 0
+    # the table is still mergeable afterwards
+    lh.merge_into(
+        spark,
+        table,
+        spark.createDataFrame([(5, "new", 5.0)], "id long, name string, v double"),
+    )
+    assert lh.read_table(spark, table).count() == 1
+
+
+def test_merge_rejects_mixed_null_keys(spark):
+    """A NULL merge key can never equi-match; silently inserting it would
+    accumulate unupdatable duplicates across replays — reject instead."""
+    table = tempfile.mkdtemp(prefix="lakehouse-nullkey-")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    lh.create_table(spark, table, df, ["id"])
+    src = spark.createDataFrame(
+        [(None, "ghost", 0.0), (2, "ok", 2.0)], "id long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="NULL-key"):
+        lh.merge_into(spark, table, src)
+
+
+def test_vacuum_sweeps_crashed_writer_orphans(spark):
+    """Data files staged by a writer that died before commit are referenced
+    by no manifest; vacuum must remove them once past the grace window —
+    the backstop _discard_staged documents."""
+    table = tempfile.mkdtemp(prefix="lakehouse-orphan-")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    lh.create_table(spark, table, df, ["id"])
+    # simulate the crash: stage files, never commit
+    orphans = lh._write_data_files(
+        spark.createDataFrame([(9, "x", 9.0)], "id long, name string, v double"),
+        table,
+        ["id"],
+    )
+    orphan_paths = {e["path"] for e in orphans}
+    # young orphans survive (grace window protects in-flight writers)
+    removed = lh.vacuum(table, orphan_grace_s=3600)
+    assert not orphan_paths & set(removed)
+    # past the grace window they are swept
+    removed = lh.vacuum(table, orphan_grace_s=0.0)
+    assert orphan_paths <= set(removed)
+    for p in orphan_paths:
+        assert not os.path.exists(os.path.join(table, p))
+    # the committed table is untouched
+    assert lh.read_table(spark, table).count() == 1
+
+
+def test_table_history_survives_vacuum(spark):
+    table = tempfile.mkdtemp(prefix="lakehouse-hist-")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    lh.create_table(spark, table, df, ["id"])
+    for i in range(2, 5):
+        lh.merge_into(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(i, f"n{i}", float(i))], "id long, name string, v double"
+            ),
+        )
+    lh.vacuum(table, keep_versions=2, orphan_grace_s=3600)
+    hist = lh.table_history(table)
+    assert [h["version"] for h in hist] == [2, 3]  # retained tail, not []
+
+
+def test_streaming_replay_mark_commits_atomically_with_data(spark):
+    """The replay high-water mark lives INSIDE the committed manifest: after
+    a merge with txn_batch_id there is no state where data is committed but
+    the mark is not, and a replayed (<= mark) batch id is a no-op."""
+    table = tempfile.mkdtemp(prefix="lakehouse-hwm-")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    lh.create_table(spark, table, df, ["id"])
+    sink = lh.stream_merge_sink(table)
+    b0 = spark.createDataFrame([(2, "b", 2.0)], "id long, name string, v double")
+    sink(b0, 0)
+    snap = lh.load_snapshot(table)
+    assert max(snap.batches) == 0  # mark in the manifest itself
+    v_after = snap.version
+    sink(b0, 0)  # crash-replay of the same batch: no-op
+    assert lh.load_snapshot(table).version == v_after
+    # compaction between micro-batches carries the mark forward
+    lh.merge_into(
+        spark,
+        table,
+        spark.createDataFrame([(3, "c", 3.0)], "id long, name string, v double"),
+        txn_batch_id=1,
+    )
+    lh.compact(spark, table)
+    assert max(lh.load_snapshot(table).batches) == 1
+    sink(b0, 1)  # still a replay after compact: no-op
+    assert lh.read_table(spark, table).count() == 3

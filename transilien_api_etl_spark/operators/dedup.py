@@ -24,9 +24,29 @@ def exact_dedup(df: DataFrame, subset: list[str], order_by: list[Column]) -> Dat
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def canonical_row_hash(cols: list[str], sep: str = "|") -> Column:
-    """sha256 hex of a canonical '|'-joined projection (engine-portable)."""
-    return F.sha2(F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]), 256)
+def canonical_row_hash(cols: list[str]) -> Column:
+    """sha256 hex of an INJECTIVE canonical row encoding (engine-portable).
+
+    A naive separator join (``concat_ws('|', ...)``) is not injective:
+    ``concat_ws`` silently drops NULL columns (``("a", NULL)`` ≡
+    ``(NULL, "a")``) and a separator occurring inside a value shifts
+    column boundaries (``("a|b", "c")`` ≡ ``("a", "b|c")``) — silent
+    false-duplicate data loss. Instead each column encodes as a prefix
+    code: ``'N'`` for NULL, ``'V' || sha256(value)`` otherwise. Pieces
+    are fixed-shape and self-delimiting, so the concatenation is
+    injective up to sha256 collision. DuckDB twin (oracle form)::
+
+        sha256(concat(
+          CASE WHEN c IS NULL THEN 'N'
+               ELSE 'V' || sha256(CAST(c AS VARCHAR)) END, ...))
+    """
+    pieces = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.sha2(F.col(c).cast("string"), 256))
+        )
+        for c in cols
+    ]
+    return F.sha2(F.concat(*pieces), 256)
 
 
 def jaccard_pairs(

@@ -237,7 +237,19 @@ def merge_seen_dedup(
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    # Injective content digest (see operators/dedup.canonical_row_hash):
+    # concat_ws drops NULL columns, so ("a", NULL, "b") and ("a", "b",
+    # NULL) would collide and silently drop a distinct row. Prefix-code
+    # each column ('N' for null, 'V'+sha2(value) otherwise) — the pieces
+    # are self-delimiting, so the concatenation is injective and NULL
+    # grouping matches the one-shot PARTITION BY oracle semantics.
+    pieces = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.sha2(F.col(c).cast("string"), 256))
+        )
+        for c in content_cols
+    ]
+    digest = F.sha2(F.concat(*pieces), 256)
     w = Window.partitionBy("_digest").orderBy(order_col)
     fresh = (
         batch_df.withColumn("_digest", digest)

@@ -200,13 +200,20 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_rows",
-    doc="Canonical row-hash dedup (SURVEY §3 F10): sha256 over a '|'-joined "
-    "projection of stable-typed columns (ints/strings only — float→string "
-    "formatting is engine-specific).",
+    doc="Canonical row-hash dedup (SURVEY §3 F10): sha256 over an INJECTIVE "
+    "prefix-coded projection of stable-typed columns (ints/strings only — "
+    "float→string formatting is engine-specific). Each column encodes as "
+    "'N' (null) or 'V'||sha256(value), so NULL position and in-value "
+    "separators cannot collide distinct rows (operators/dedup.py).",
     tags=("dedup",),
     oracle="""
 SELECT row_sha, count(*) AS n FROM (
-  SELECT sha256(concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_returnflag)) AS row_sha
+  SELECT sha256(concat(
+    CASE WHEN l_orderkey  IS NULL THEN 'N' ELSE 'V' || sha256(CAST(l_orderkey  AS VARCHAR)) END,
+    CASE WHEN l_partkey   IS NULL THEN 'N' ELSE 'V' || sha256(CAST(l_partkey   AS VARCHAR)) END,
+    CASE WHEN l_suppkey   IS NULL THEN 'N' ELSE 'V' || sha256(CAST(l_suppkey   AS VARCHAR)) END,
+    CASE WHEN l_returnflag IS NULL THEN 'N' ELSE 'V' || sha256(CAST(l_returnflag AS VARCHAR)) END
+  )) AS row_sha
   FROM lineitem)
 GROUP BY row_sha ORDER BY row_sha
 """,

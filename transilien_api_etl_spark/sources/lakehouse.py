@@ -67,8 +67,13 @@ class Snapshot:
     # derived then via a mergeSchema footer read). Recording it here is what
     # makes schema evolution survive merges that touch only old-schema files.
     columns: tuple[str, ...] | None = None
-    # Streaming batch ids applied up to this version — part of the manifest
-    # so replay protection commits atomically with the data (no side ledger).
+    # Streaming replay high-water mark: the largest stream batch id whose
+    # MERGE committed at or before this version. Part of the manifest so
+    # replay protection commits atomically with the data (no side ledger
+    # that a crash between commit and ledger-write could desync).
+    # Structured Streaming batch ids are strictly increasing, so one int
+    # bounds manifest growth (Delta's txnVersion contract); stored as a
+    # 0/1-element tuple for manifest compatibility.
     batches: tuple[int, ...] = field(default=())
 
 
@@ -165,6 +170,26 @@ def _write_data_files(df: DataFrame, table: str, key_cols: list[str]) -> list[di
                 "max_key": _stat_bound(row["max_key"], lower=False),
             }
         )
+    if not entries:
+        # A fully-empty write (e.g. a merge that deleted every row): the
+        # zero-row part files never appear in the groupBy stats but still
+        # carry the schema in their footers. Keep ONE as the snapshot's
+        # schema carrier so the table stays readable (0 rows) instead of
+        # publishing a file-less, schema-less manifest.
+        part = sorted(
+            name
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        )
+        if part:
+            entries.append(
+                {
+                    "path": os.path.relpath(os.path.join(out_dir, part[0]), table),
+                    "rows": 0,
+                    "min_key": None,
+                    "max_key": None,
+                }
+            )
     return entries
 
 
@@ -235,6 +260,13 @@ def read_table(
     ``mergeSchema`` is on: files written before a schema evolution read
     their missing columns as NULL."""
     snap = load_snapshot(table, version)
+    if not snap.files:
+        # Only reachable via pre-fix manifests: current writers always
+        # publish at least a zero-row schema-carrier file.
+        raise ValueError(
+            f"snapshot v{snap.version} of {table} lists no data files; "
+            "the schema is unrecoverable from the manifest alone"
+        )
     files = list(snap.files)
     if key_between is not None:
         lo, hi = key_between
@@ -254,9 +286,20 @@ def read_table(
 
 
 def table_history(table: str) -> list[dict]:
+    """One row per RETAINED version. Enumerates the manifests actually on
+    disk rather than counting up from 0 — after a vacuum drops old
+    manifests, history must report the surviving versions, not return
+    empty because v0 is gone."""
+    log_dir = os.path.join(table, _LOG)
+    if not os.path.isdir(log_dir):
+        return []
+    versions = sorted(
+        int(name[1:9])
+        for name in os.listdir(log_dir)
+        if name.startswith("v") and name.endswith(".json")
+    )
     out = []
-    v = 0
-    while os.path.exists(_manifest_path(table, v)):
+    for v in versions:
         snap = load_snapshot(table, v)
         out.append(
             {
@@ -265,7 +308,6 @@ def table_history(table: str) -> list[dict]:
                 "n_rows": sum(e["rows"] for e in snap.files),
             }
         )
-        v += 1
     return out
 
 
@@ -333,8 +375,16 @@ def _merge_once(
         raise ValueError("merge source carries duplicate keys; dedup it first")
 
     # File-level pruning: only files whose key range can hold a source key
-    # get rewritten. One tiny agg on the source drives the split.
-    bounds = source.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+    # get rewritten. One tiny agg on the source drives the split; the same
+    # agg also counts NULL keys — a NULL merge key can never equi-join a
+    # target row, so letting it through would insert a never-matchable,
+    # never-updatable row on EVERY merge replay (key-unique corruption).
+    bounds = source.agg(
+        F.min(k).alias("lo"),
+        F.max(k).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(k).alias("n_keyed"),
+    ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None or hi is None:
         # Empty source (or all-null keys): nothing can match or insert.
@@ -342,6 +392,12 @@ def _merge_once(
         if source.head(1):
             raise ValueError("merge source keys are all NULL")
         return snap
+    if bounds["n_keyed"] < bounds["n_rows"]:
+        raise ValueError(
+            f"merge source contains {bounds['n_rows'] - bounds['n_keyed']} "
+            f"NULL-key row(s) in {k}; a NULL key can never match and would "
+            "accumulate as an unupdatable duplicate — filter or fix upstream"
+        )
     lo_s = _stat_bound(lo, lower=True)
     hi_s = _stat_bound(hi, lower=False)
     touched = [e for e in snap.files if _file_overlaps(e, lo_s, hi_s)]
@@ -407,10 +463,18 @@ def _merge_once(
             ],
         )
 
-    new_entries = _write_data_files(merged, table, key_cols) if merged.head(1) else []
-    batches = set(snap.batches)
-    if txn_batch_id is not None:
-        batches.add(txn_batch_id)
+    # Write even an empty merge result when no untouched files remain: the
+    # zero-row parquet file carries the table schema, so a fully-deleted
+    # table stays readable (0 rows) instead of publishing a file-less,
+    # schema-less manifest.
+    if merged.head(1) or not untouched:
+        new_entries = _write_data_files(merged, table, key_cols)
+    else:
+        new_entries = []
+    hw = max(
+        [b for b in (*snap.batches, txn_batch_id) if b is not None],
+        default=None,
+    )
     try:
         _commit(
             table,
@@ -418,7 +482,7 @@ def _merge_once(
             key_cols,
             untouched + new_entries,
             columns=key_cols + all_data_cols,
-            batches=tuple(batches),
+            batches=(hw,) if hw is not None else (),
         )
     except ConcurrentWriteError:
         _discard_staged(table, new_entries)
@@ -479,10 +543,17 @@ def compact(
     return load_snapshot(table, snap.version + 1)
 
 
-def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, *, keep_versions: int = 1, orphan_grace_s: float = 3600.0
+) -> list[str]:
     """Delete data files referenced only by manifests older than the last
-    ``keep_versions`` snapshots (and drop those manifests). Returns the
-    removed file paths. The retention window is what keeps time travel and
+    ``keep_versions`` snapshots (and drop those manifests), then sweep
+    ORPHANS: data files no surviving manifest references — the leftovers
+    of writers that crashed between staging and commit (the backstop
+    ``_discard_staged`` documents). Orphans younger than
+    ``orphan_grace_s`` seconds are kept: they may belong to an in-flight
+    writer that has staged but not yet committed. Returns the removed
+    file paths. The retention window is what keeps time travel and
     in-flight readers safe — identical contract to Delta's VACUUM."""
     latest = _latest_version(table)
     if latest is None:
@@ -490,7 +561,8 @@ def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
     cutoff = max(0, latest - keep_versions + 1)
     live: set[str] = set()
     for v in range(cutoff, latest + 1):
-        live |= {e["path"] for e in load_snapshot(table, v).files}
+        if os.path.exists(_manifest_path(table, v)):
+            live |= {e["path"] for e in load_snapshot(table, v).files}
     removed: list[str] = []
     for v in range(0, cutoff):
         mp = _manifest_path(table, v)
@@ -504,6 +576,30 @@ def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
                     removed.append(e["path"])
                 live.add(e["path"])  # only report once
         os.remove(mp)
+    # Orphan sweep: anything under data/ that no retained manifest lists
+    # and that is older than the grace window was staged by a writer that
+    # died before (or lost) its commit.
+    data_dir = os.path.join(table, _DATA)
+    now = time.time()
+    if os.path.isdir(data_dir):
+        for root, _dirs, names in os.walk(data_dir, topdown=False):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table)
+                if rel in live:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_s:
+                        continue
+                    os.remove(full)
+                    removed.append(rel)
+                except OSError:
+                    continue  # raced with a concurrent writer/vacuum
+            try:
+                if not os.listdir(root) and root != data_dir:
+                    os.rmdir(root)
+            except OSError:
+                pass
     return removed
 
 
@@ -584,37 +680,25 @@ def change_feed(
 def stream_merge_sink(table: str, delete_col: str | None = None):
     """foreachBatch sink: exactly-once streaming MERGE into the table.
 
-    Idempotent replay: each micro-batch commit records its (stream) batch
-    id in the manifest; a replayed batch id is a no-op, so retries after a
-    crash between sink-commit and checkpoint-advance cannot double-apply —
-    the same contract as Delta's ``txnVersion``/``txnAppId``."""
+    Idempotent replay: each micro-batch MERGE commits its (stream) batch
+    id INSIDE the manifest (``txn_batch_id`` → ``Snapshot.batches``
+    high-water mark), atomically with the data — there is no moment where
+    data is committed but the replay record is not. A replayed batch id
+    (≤ the stored mark; Structured Streaming ids are strictly increasing,
+    and only the LAST batch can replay after a crash) is a no-op, so a
+    crash between sink-commit and checkpoint-advance cannot double-apply
+    — the same contract as Delta's ``txnVersion``/``txnAppId``.
+    ``compact`` carries the mark forward, so maintenance between two
+    micro-batches does not reset replay protection."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         snap = load_snapshot(table)
-        applied = _applied_batches(table, snap.version)
-        if batch_id in applied:
+        applied_hw = max(snap.batches) if snap.batches else None
+        if applied_hw is not None and batch_id <= applied_hw:
             return
-        new_snap = merge_into(spark, table, batch_df, delete_col=delete_col)
-        _record_batch(table, new_snap.version, applied | {batch_id})
+        merge_into(
+            spark, table, batch_df, delete_col=delete_col, txn_batch_id=batch_id
+        )
 
     return write_batch
-
-
-def _batches_path(table: str, version: int) -> str:
-    return os.path.join(table, _LOG, f"b{version:08d}.json")
-
-
-def _applied_batches(table: str, version: int) -> set[int]:
-    p = _batches_path(table, version)
-    if not os.path.exists(p):
-        return set()
-    with open(p, encoding="utf-8") as f:
-        return set(json.load(f))
-
-
-def _record_batch(table: str, version: int, batches: set[int]) -> None:
-    tmp = _batches_path(table, version) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(sorted(batches), f)
-    os.replace(tmp, _batches_path(table, version))
