@@ -137,21 +137,27 @@ def minhash_signature_pairs(
     ]
     sigs = tok.groupBy("id").agg(*sig_aggs)
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
-        bands.append(
-            sigs.select(
-                "id",
-                F.lit(b).alias("band"),
-                # the bucket key is the band's slot tuple itself (joined to
-                # one string) — no second hash, trivially engine-portable
-                F.concat_ws(",", *cols).alias("bucket"),
-            )
+    # One pass, not a union of n_bands selects over the sigs aggregate:
+    # each union branch would re-run the whole explode + num_hashes
+    # min-aggregation unless Spark happens to reuse the exchange. Explode
+    # an array of (band, bucket) structs instead — the expensive signature
+    # aggregation is computed exactly once and the banding is a free
+    # map-side generator on top of it.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # the bucket key is the band's slot tuple itself (joined to
+            # one string) — no second hash, trivially engine-portable
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
         sz = Window.partitionBy("band", "bucket")
         banded = (
