@@ -51,10 +51,12 @@ def main() -> None:
             .option("maxFilesPerTrigger", "8")
             .parquet(src)
         )
-        ts = F.col("ts")
         if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long testdata
-            ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        stream = stream.withColumn("ts", ts)
+            # integer DIV, same as io._events_ns_to_ts — float division
+            # loses ns precision above 2^53 (~1970+104 days)
+            from transilien_api_etl_spark.io import _events_ns_to_ts
+
+            stream = _events_ns_to_ts(stream)
         if mode == "window_count":
             q = (
                 stream.withWatermark("ts", "1 hour")

@@ -105,3 +105,51 @@ def test_union_matches_join_on_generated_data(spark, events):
         )
 
     assert run("union") == run("join")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_union_matches_join_with_null_keys_and_timestamps(spark, direction):
+    """Round-5 review: the window scan groups NULL keys into one partition
+    and sorts NULL timestamps into match positions, unlike the equi-join
+    (NULL never matches). Both strategies must agree on NULL-laden data."""
+    from datetime import datetime
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(10)),
+            (2, None, t(10)),   # NULL key: never matches
+            (3, 10, None),      # NULL ts: never matches
+            (4, 20, t(30)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, t(5)),
+            (101, 10, t(40)),
+            (102, None, t(5)),   # NULL key right: matches nothing
+            (103, 20, None),     # NULL ts right: matches nothing
+            (104, 20, t(25)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    # column order: on-key first like the callers do
+    right = right.select("user_id", "event_id", "ts")
+
+    def run(strategy):
+        m = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            left_keys=["event_id"], direction=direction, strategy=strategy,
+        )
+        return sorted(
+            (r["pid"], r["cid"])
+            for r in m.select(
+                F.col("l.event_id").alias("pid"), F.col("r.event_id").alias("cid")
+            ).collect()
+        )
+
+    got_union, got_join = run("union"), run("join")
+    assert got_union == got_join
+    matches = dict(got_union)
+    assert matches[2] is None and matches[3] is None  # NULLs never match

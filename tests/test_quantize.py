@@ -41,3 +41,35 @@ def test_quantized_knn_recall_vs_exact(spark):
     q8 = {r["vec_id"] for r in REGISTRY["knn_sq8_top10"].fn(spark, SF).collect()}
     # SQ8 distorts only the corpus side; top-10 overlap should stay high
     assert len(exact & q8) >= 8, (sorted(exact), sorted(q8))
+
+
+def test_rounding_formula_matches_decimal_half_up_at_the_tie_edge():
+    """floor(v+0.5) is NOT half-up for v just below 0.5: the sum lands
+    exactly halfway and ties-to-even rounds it up to 1.0. The kernel's
+    frac-based form must agree with decimal HALF_UP (what Spark F.round
+    and the DuckDB oracle compute) on exactly these doubles."""
+    import numpy as np
+
+    v = np.nextafter(0.5, 0.0)  # largest double < 0.5
+    assert np.floor(v + 0.5) == 1.0  # the old formula's wrong answer
+    fv = np.floor(v)
+    assert fv + (v - fv >= 0.5) == 0.0  # fixed kernel form
+    # and at the true tie the fixed form still rounds up (half-UP)
+    assert (lambda x: np.floor(x) + (x - np.floor(x) >= 0.5))(0.5) == 1.0
+
+
+def test_sq8_codes_clamped_for_out_of_stats_rows(spark):
+    """Stats from one corpus, encoder applied to later-arriving rows: an
+    out-of-range value must clamp to [0, 255], not extrapolate outside
+    the byte range."""
+    from transilien_api_etl_spark.operators.quantize import sq8_encode
+
+    emb = spark.createDataFrame(
+        [(1, [300.0, -5.0]), (2, [100.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    codes = {
+        r.vec_id: r.codes
+        for r in sq8_encode(emb, [0.0, 0.0], [255.0, 1.0]).collect()
+    }
+    assert codes[1] == [255, 0]  # clamped high / low
+    assert all(0 <= c <= 255 for c in codes[2])

@@ -91,9 +91,24 @@ def cosine_scores_arrow(
     def score(batches):
         for batch in batches:
             vid = batch.column(0)
-            flat = np.asarray(
-                batch.column(1).flatten(), dtype=np.float64
-            ).reshape(-1, dim)
+            vecs = batch.column(1)
+            # Fail fast on NULL / ragged embeddings: ListArray.flatten()
+            # silently SKIPS null lists, so one NULL row would shift every
+            # later row's values (scores attributed to the wrong ids) and
+            # surface only as an unrelated-looking Arrow length error. A
+            # wrong-dim row would likewise desync the reshape.
+            if vecs.null_count:
+                raise ValueError(
+                    f"{vec_col} contains {vecs.null_count} NULL embedding(s); "
+                    "filter them out before the cosine kernel"
+                )
+            flat = np.asarray(vecs.flatten(), dtype=np.float64)
+            if flat.size != len(vecs) * dim:
+                raise ValueError(
+                    f"{vec_col} rows are not uniformly {dim}-dimensional "
+                    f"({flat.size} values for {len(vecs)} rows)"
+                )
+            flat = flat.reshape(-1, dim)
             dot_acc = None
             dd_acc = None
             for d in range(dim):

@@ -103,6 +103,16 @@ def _asof_union(
     backward = direction == "backward"
     rcols = [c for c in right.columns if c not in on]
     tie = [c for c in rcols if c != right_ts]
+    # NULL semantics must match strategy='join': an equi-join never matches
+    # NULL keys and a NULL timestamp satisfies no time condition. The
+    # window scan would otherwise group NULL keys into one partition (a
+    # NULL-key left row "matching" a NULL-key right row) and let NULL-ts
+    # rows sort into match positions. Right rows with a NULL key or NULL
+    # ts can match nothing — drop them from the scan entirely.
+    r_valid = right
+    for c in [*on, right_ts]:
+        r_valid = r_valid.filter(F.col(c).isNotNull())
+    right = r_valid
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -131,6 +141,13 @@ def _asof_union(
         l_tagged.unionByName(r_tagged)
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__is_right") == 0)
+        # A NULL-ts left row satisfies no time condition in the join
+        # strategy; in the forward scan (desc, nulls last) it would sit at
+        # the end of the partition and pick up the running match — null it.
+        .withColumn(
+            "__match",
+            F.when(F.col("__ts").isNull(), F.lit(None)).otherwise(F.col("__match")),
+        )
     )
     if tolerance_seconds is not None:
         tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")

@@ -69,17 +69,29 @@ def _lit_arr(xs: list[float]) -> Column:
 
 
 def sq8_code_expr(mins: list[float], maxs: list[float], col: str = "embedding") -> Column:
-    """codes[i] = round((x-mn)/(mx-mn)·255) as array<int> (stored form would
-    pack to 1 byte; int keeps the arithmetic transparent for the oracle).
-    A constant dimension (mx == mn) codes to 0 instead of 0/0 NaN — the
-    oracle carries the same CASE guard."""
+    """codes[i] = clamp(round((x-mn)/(mx-mn)·255), 0, 255) as array<int>
+    (stored form would pack to 1 byte; int keeps the arithmetic transparent
+    for the oracle). A constant dimension (mx == mn) codes to 0 instead of
+    0/0 NaN — the oracle carries the same CASE guard. The clamp matters
+    for ASYMMETRIC ingest: stats come from one corpus but the encoder is
+    applied to later-arriving rows too, and an out-of-range value would
+    otherwise code outside the byte range and silently wrap in a packed
+    store. In-range data is untouched, so oracle parity is unaffected."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
     return F.transform(
         F.col(col),
         lambda x, i: F.when(F.get(mx, i) == F.get(mn, i), F.lit(0)).otherwise(
-            F.round(
-                (x.cast("double") - F.get(mn, i)) / (F.get(mx, i) - F.get(mn, i)) * 255
-            ).cast("int")
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (x.cast("double") - F.get(mn, i))
+                        / (F.get(mx, i) - F.get(mn, i))
+                        * 255
+                    ).cast("int"),
+                ),
+            )
         ),
     )
 
@@ -121,13 +133,20 @@ def sq8_cosine_arrow(
     Delegates the order-sensitive accumulation loop to
     functions/vectors.cosine_scores_arrow (the single shared copy of the
     bit-parity fold) and contributes only the per-dimension SQ8 step:
-    code = floor(v+0.5) where v = ((x-mn)/(mx-mn))*255 — exact half-up
-    for v ∈ [0,256) because v+0.5 is an exact double sum there; dequant
-    mn + (code*(mx-mn))/255; constant dimensions (mx==mn) code to 0 and
-    dequant to mn, matching sq8_code_expr's CASE guard. Every op is the
-    same sequential IEEE arithmetic as the column-expression kernel, so
-    results are IDENTICAL bits (verified EXACT on 1 M×64 and property-
-    tested in tests/test_arrow_kernel_parity.py).
+    code = clamp(floor(v) + [frac(v) ≥ 0.5], 0, 255) where
+    v = ((x-mn)/(mx-mn))*255. NOT floor(v+0.5): for v just under 0.5
+    (e.g. the largest double < 0.5) v+0.5 lands exactly halfway and
+    ties-to-even rounds the SUM up to 1.0, so floor(v+0.5)=1 while
+    decimal HALF_UP (Spark F.round / the oracle) gives 0. frac = v -
+    floor(v) is an exact double for v ≥ 0 (the integer part's bits
+    subtract away losslessly), so the ≥ 0.5 comparison reproduces
+    HALF_UP bit-exactly; the clamp mirrors sq8_code_expr (ties at
+    negative v round differently pre-clamp but identically post-clamp).
+    Dequant mn + (code*(mx-mn))/255; constant dimensions (mx==mn) code
+    to 0 and dequant to mn, matching sq8_code_expr's CASE guard. Every
+    op is the same sequential IEEE arithmetic as the column-expression
+    kernel, so results are IDENTICAL bits (verified EXACT on 1 M×64 and
+    property-tested in tests/test_arrow_kernel_parity.py).
 
     Measured on this box at 1 M×64 (local[32], warm cache): 0.83 s vs
     4.31 s for the pure-JVM HOF kernel — the int8 round/unpack plus two
@@ -148,7 +167,8 @@ def sq8_cosine_arrow(
             code = np.zeros(len(col))
         else:
             v = ((col - mn_d) / (mx_d - mn_d)) * 255.0
-            code = np.floor(v + 0.5)
+            fv = np.floor(v)
+            code = np.clip(fv + (v - fv >= 0.5), 0.0, 255.0)
         return mn_d + (code * (mx_d - mn_d)) / 255.0
 
     return cosine_scores_arrow(

@@ -37,7 +37,8 @@ c AS (
   SELECT vec_id,
          list_transform(v, (x, i) ->
            CASE WHEN maxs[i] = mins[i] THEN 0
-                ELSE CAST(round((x - mins[i]) / (maxs[i] - mins[i]) * 255) AS INTEGER)
+                ELSE least(255, greatest(0,
+                       CAST(round((x - mins[i]) / (maxs[i] - mins[i]) * 255) AS INTEGER)))
            END) AS codes
   FROM e, s),
 dq AS (

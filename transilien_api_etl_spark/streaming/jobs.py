@@ -12,6 +12,8 @@ streaming plans share the batch plans' DuckDB oracles (SURVEY §6.3).
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -26,26 +28,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts may arrive as parquet TIMESTAMP(NANOS) (nanosAsLong + integer-DIV
     conversion, same as the batch loader) or standard µs — one footer read
     decides, so batch and stream share one downstream schema either way.
+    The events table itself may be a single ``events.parquet`` FILE (the
+    driver-generated testdata) or a Spark-written DIRECTORY of part files
+    (the scale cache, any sink of this engine): a leaf-name glob filter
+    only handles the former — ``part-*.parquet`` never matches
+    ``events.parquet`` — so the directory case streams the dir itself
+    (silent-zero-rows otherwise).
     """
-    from pyspark.sql import functions as F
+    from transilien_api_etl_spark.io import SCHEMAS, _events_ns_to_ts, _events_ts_is_nanos
 
-    from transilien_api_etl_spark.io import SCHEMAS, _events_ts_is_nanos
-
-    # file streaming source requires a directory; select just the events
-    # table out of it with pathGlobFilter
-    if _events_ts_is_nanos(table_path(sf_dir, "events")):
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        src, opts = path, {}
+    else:
+        # file streaming source requires a directory; select just the
+        # events file out of it with pathGlobFilter
+        src, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
+    if _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(events_raw_schema())
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+        reader = spark.readStream.schema(events_raw_schema())
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return _events_ns_to_ts(reader.parquet(src))
+    reader = spark.readStream.schema(SCHEMAS["events"])
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.parquet(src)
 
 
 class _bounded_state_partitions:
@@ -97,16 +105,22 @@ def run_stream_to_memory(
     sink; returns the materialized result as a batch DataFrame."""
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    with _bounded_state_partitions(sdf.sparkSession):
-        q = (
-            sdf.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with _bounded_state_partitions(sdf.sparkSession):
+            q = (
+                sdf.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # per-run throwaway checkpoint (offsets + state store): a bench or
+        # test session starts dozens of streams, and the RocksDB/HDFS state
+        # files would otherwise pile up in /tmp until the OS sweeps it
+        shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession.table(qname)
 
 
@@ -116,15 +130,18 @@ def run_stream_foreach_batch(
     """Drive a stream through a foreachBatch sink to completion (S5/T1)."""
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    with _bounded_state_partitions(sdf.sparkSession):
-        q = (
-            sdf.writeStream.foreachBatch(batch_fn)
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with _bounded_state_partitions(sdf.sparkSession):
+            q = (
+                sdf.writeStream.foreachBatch(batch_fn)
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 SESSION_GAP_MS = 1_800_000  # 30 minutes
