@@ -97,3 +97,24 @@ def test_multi_window_trip_gets_unique_instance_ids(spark):
         by_trip.setdefault(r["trip_id"], {})[r["stop_sequence"]] = r
     assert by_trip["T1#4"][2]["departure_time"] == "09:38:00"
     assert by_trip["T1#4"][2]["arrival_time"] == "09:37:00"
+
+
+def test_window_starting_within_first_stop_dwell_clamps_arrival(spark):
+    """First stop: arrival 00:00:00, departure 00:01:00 (60 s dwell);
+    window starts 00:00:10 — the shifted arrival would be -50 s, which a
+    GTFS clock string cannot encode. It must clamp to 00:00:00 and stay
+    parseable, not emit '-1:-1:-50' garbage (round-5 review)."""
+    st = spark.createDataFrame(
+        [("T", "00:00:00", "00:01:00", "A", 1), ("T", "00:10:00", "00:10:00", "B", 2)],
+        ST_SCHEMA,
+    )
+    fq = spark.createDataFrame([("T", "00:00:10", "00:10:10", 600, 1)], FQ_SCHEMA)
+    out = {r["stop_sequence"]: r for r in expand_frequencies(st, fq).collect()}
+    assert out[1]["arrival_time"] == "00:00:00"  # clamped at service midnight
+    assert out[1]["departure_time"] == "00:00:10"  # departs at start_time
+    # regenerated strings still round-trip through the parser
+    df = spark.createDataFrame(
+        [(out[1]["arrival_time"],), (out[1]["departure_time"],)], "clock string"
+    )
+    secs = [r[0] for r in df.select(gtfs_clock_seconds(F.col("clock"))).collect()]
+    assert secs == [0, 10]

@@ -175,3 +175,43 @@ def test_decode_payloads_lazy_validation(spark):
     assert len(out) == 8
     assert out[0]["modality"] == "stub" and out[1]["modality"] == "stub"
     assert out[2]["modality"] == "image" and out[3]["modality"] == "audio"
+
+
+def test_null_payload_rows_are_skipped_not_crashed(spark):
+    """attach_payload over a NULL source column yields a NULL payload; the
+    decode/feature/resize paths must skip such rows (sample_frames'
+    contract) instead of TypeError-ing the whole job on len(None)
+    (round-5 review)."""
+    from transilien_api_etl_spark.operators.multimodal import (
+        decode_features,
+        resize_payloads,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"abcdef"), {"mime": "text/plain", "n_bytes": 6}),
+            (2, None, {"mime": "text/plain", "n_bytes": 0}),
+        ],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    # meta as struct like attach_payload produces
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("meta")["mime"].alias("mime"),
+            F.col("meta")["n_bytes"].cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    assert {r.doc_id for r in decode_features(df).collect()} == {1}
+    assert {r.doc_id for r in resize_payloads(df, 4, 2).collect()} == {1}
+    assert {r.doc_id for r in sample_frames(df, 2, 1).select("doc_id").distinct().collect()} == {1}
+
+    media = spark.createDataFrame(
+        [(3, None, "image/x-portable-pixmap")],
+        "doc_id long, payload binary, mime string",
+    )
+    assert decode_media_features(media).count() == 0

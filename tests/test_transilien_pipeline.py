@@ -305,3 +305,20 @@ def test_nearest_stations_by_haversine(spark):
     ref = ref_km(48.8809, 2.3553, 48.8443, 2.3743)
     assert abs(d - ref) < 1e-9
     assert 3.5 < d < 5.0  # Gare du Nord ↔ Gare de Lyon straight-line
+
+
+def test_load_gtfs_zip_handles_nested_directory_prefix(spark, gtfs_dir, tmp_path):
+    """Agency exports commonly nest the feed under a folder ('export/
+    stops.txt'); the loader must find the tables anyway instead of
+    silently returning an all-empty feed (round-5 review)."""
+    import zipfile
+
+    from transilien_api_etl_spark.sources.gtfs import load_gtfs_zip
+
+    zpath = str(tmp_path / "nested.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name in ("trips", "stop_times", "calendar", "stops", "routes"):
+            zf.write(f"{gtfs_dir}/{name}.txt", arcname=f"export/{name}.txt")
+    feeds = load_gtfs_zip(spark, zpath)
+    assert feeds["stops"].count() == load_gtfs(spark, gtfs_dir)["stops"].count()
+    assert feeds["trips"].count() > 0

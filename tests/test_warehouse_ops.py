@@ -197,3 +197,51 @@ def test_point_in_time_join_picks_version_in_force(spark):
 
     inner = point_in_time_join(facts, hist, ["cust_id"], "ts", how="inner")
     assert {r.fact_id for r in inner.collect()} == {101, 102, 103, 104}
+
+
+def test_scd2_merge_rejects_out_of_order_batch(spark):
+    """An incoming effective time BEFORE the open row's valid_from would
+    invert the interval and make the open version vanish from every
+    as-of query — the merge must raise, not corrupt (round-5 review)."""
+    import pytest
+
+    day1 = spark.createDataFrame(
+        [("s1", "Nord", "2026-01-05 00:00:00")],
+        "stop_id string, stop_name string, observed string",
+    ).withColumn("observed", F.col("observed").cast("timestamp"))
+    hist = scd2_merge(None, day1, ["stop_id"], ["stop_name"], "observed")
+    late = spark.createDataFrame(
+        [("s1", "Renamed", "2026-01-01 00:00:00")],  # precedes valid_from
+        "stop_id string, stop_name string, observed string",
+    ).withColumn("observed", F.col("observed").cast("timestamp"))
+    with pytest.raises(Exception, match="out-of-order"):
+        scd2_merge(hist, late, ["stop_id"], ["stop_name"], "observed").collect()
+
+
+def test_point_in_time_join_respects_closed_history_tail(spark):
+    """A fact dated after a key's LAST version's valid_to must get NULL
+    attributes (left) / drop (inner), not the superseded version — the
+    valid_to half of the interval predicate (round-5 review)."""
+    from transilien_api_etl_spark.operators.scd import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [("s1", "OldName", "2026-01-01 00:00:00", "2026-02-01 00:00:00")],
+        "stop_id string, stop_name string, valid_from string, valid_to string",
+    ).select(
+        "stop_id",
+        "stop_name",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [("s1", "2026-01-15 00:00:00"), ("s1", "2026-03-01 00:00:00")],
+        "stop_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        str(r.ts): r.stop_name
+        for r in point_in_time_join(facts, hist, ["stop_id"], "ts").collect()
+    }
+    assert out["2026-01-15 00:00:00"] == "OldName"  # in force at the time
+    assert out["2026-03-01 00:00:00"] is None  # superseded, no leakage
+    inner = point_in_time_join(facts, hist, ["stop_id"], "ts", how="inner")
+    assert inner.count() == 1

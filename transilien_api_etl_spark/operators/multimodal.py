@@ -66,6 +66,10 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (attach_payload over a NULL source column)
+            # carry no media — skip the row, same contract as
+            # sample_frames, instead of len(None) TypeError-ing the job
+            pdf = pdf[pdf["payload"].notna()]
             feats = pdf["payload"].map(_features_of)
             yield pd.DataFrame(
                 {
@@ -227,6 +231,7 @@ def resize_payloads(df: DataFrame, width: int, height: int, id_col: str = "doc_i
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # no media: skip, don't crash
             resized = pdf["payload"].map(_resize)
             yield pd.DataFrame(
                 {
@@ -420,6 +425,8 @@ def decode_media_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if payload is None:  # no media: skip, same as sample_frames
+                    continue
                 feats = _features(mime, payload)
                 rows.append({"doc_id": doc_id, "n_bytes": len(payload), **feats})
             out = pd.DataFrame(rows, columns=cols)

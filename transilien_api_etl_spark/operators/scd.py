@@ -96,10 +96,30 @@ def scd2_merge(
         return chained
 
     # 4. Close the previously-open row at the first surviving snapshot.
+    # Out-of-order batch guard (enforce, don't corrupt): an incoming
+    # effective time BEFORE the open row's own valid_from would invert the
+    # interval (valid_to < valid_from), making the open version vanish
+    # from every as_of_view — a late-arriving batch needs an explicit
+    # history rewrite, not a silent merge. raise_error keeps the check
+    # lazy (no extra driver-side action) and fires only on bad data.
     first_from = fresh.groupBy(*key_cols).agg(F.min("valid_from").alias("_new_from"))
     closed_now = (
         open_rows.join(first_from, key_cols, "inner")
-        .withColumn("valid_to", F.col("_new_from"))
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("_new_from") < F.col("valid_from"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("scd2_merge: out-of-order batch — incoming effective "),
+                        F.col("_new_from").cast("string"),
+                        F.lit(" precedes the open version's valid_from "),
+                        F.col("valid_from").cast("string"),
+                        F.lit("; rewrite history explicitly for late arrivals"),
+                    )
+                ).cast("timestamp"),
+            ).otherwise(F.col("_new_from")),
+        )
         .drop("_new_from")
     )
     untouched_open = open_rows.join(first_from.select(*key_cols), key_cols, "left_anti")
@@ -149,6 +169,17 @@ def point_in_time_join(
         left_keys=[fact_ts],
         direction="backward",
         strategy="union",
+    )
+    # Enforce the fact_ts < valid_to half of the interval predicate: the
+    # backward as-of alone would let a fact dated AFTER a key's last
+    # CLOSED version (a deletion-aware or hand-maintained history need
+    # not end open) inherit that superseded version's attributes.
+    matched = matched.withColumn(
+        "r",
+        F.when(
+            F.col("r").isNotNull() & (F.col(f"l.{fact_ts}") < F.col("r.valid_to")),
+            F.col("r"),
+        ),
     )
     attr_cols = [
         c for c in history.columns if c not in (*key_cols, "valid_from", "valid_to")

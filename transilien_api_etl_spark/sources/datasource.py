@@ -10,10 +10,11 @@ driver-side fetch glued to ``mapInPandas``:
   station chunking); ``read`` fetches + parses that chunk executor-side,
   so ingest throughput scales with partitions, and Spark sees a plain
   relational source it can column-prune behind.
-- streaming: ``SimpleDataSourceStreamReader`` models the polling cycle —
-  each offset increment is one poll of every station; downstream dedup /
-  upsert (T5/T6, S5) absorbs the repeat-observation semantics exactly as
-  the reference's Dynamo overwrite did.
+- streaming: ``DataSourceStreamReader`` models the polling cycle — each
+  offset increment is one poll of every station, fanned out executor-side
+  like the batch reader; downstream dedup / upsert (T5/T6, S5) absorbs
+  the repeat-observation semantics exactly as the reference's Dynamo
+  overwrite did.
 
 The transport is pluggable: ``endpoint`` points at a directory holding one
 ``<station>.xml`` per station (the offline stand-in used by tests and this
@@ -124,25 +125,46 @@ class TransilienXmlStreamReader(DataSourceStreamReader):
     the same executor-parallel fan-out. Re-observations across cycles are
     the EXPECTED shape — watermarked dropDuplicates / upsert_by_key
     downstream make the pipeline idempotent, as in the reference.
+
+    Offsets are wall-clock epoch seconds, NOT an in-memory counter: the
+    Python stream-reader API gives a restarted reader no way to recover
+    the checkpointed offset before ``latestOffset`` is first called, so a
+    counter restarting at 0 would regress the offset log (end < start)
+    and break monotonicity. Epoch seconds are monotone across restarts;
+    within a session successive triggers still advance by at least 1.
+    Catch-up after a long gap is capped at ``MAX_CATCHUP_CYCLES`` polls:
+    a live polling API only ever serves the CURRENT state, so replaying
+    thousands of missed cycles would poll the same now-state thousands
+    of times for no added data.
     """
+
+    MAX_CATCHUP_CYCLES = 10
 
     def __init__(self, options: dict):
         self.options = options
 
     def initialOffset(self) -> dict:
-        return {"cycle": 0}
+        import time
+
+        return {"cycle": int(time.time()) - 1}
 
     def latestOffset(self) -> dict:
-        # every trigger advances exactly one polling cycle
-        self._latest = getattr(self, "_latest", 0) + 1
+        import time
+
+        prev = getattr(self, "_latest", None)
+        now = int(time.time())
+        self._latest = now if prev is None else max(prev + 1, now)
         return {"cycle": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # keep the in-session counter ahead of any replayed offset range
+        self._latest = max(getattr(self, "_latest", 0), start["cycle"], end["cycle"])
         endpoint = self.options["endpoint"]
         stations = _stations(self.options)
         chunk = int(self.options.get("chunk_size", CHUNK_SIZE))
+        n_cycles = min(max(end["cycle"] - start["cycle"], 1), self.MAX_CATCHUP_CYCLES)
         parts = []
-        for _cycle in range(start["cycle"], end["cycle"]):
+        for _cycle in range(n_cycles):
             parts.extend(
                 _StationChunk(endpoint, stations[i : i + chunk])
                 for i in range(0, len(stations), chunk)

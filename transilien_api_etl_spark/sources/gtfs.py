@@ -11,7 +11,7 @@ broadcast-sized dimension data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -136,17 +136,29 @@ def load_gtfs_zip(spark: SparkSession, zip_path: str) -> dict[str, DataFrame]:
     optional members (e.g. ``calendar_dates``) load as empty frames so the
     downstream plan shape never changes.
     """
+    import os
     import tempfile
     import zipfile
 
+    # The extraction dir must outlive the returned (lazy) DataFrames, so
+    # it is intentionally not removed here; clean it with the session.
     out_dir = tempfile.mkdtemp(prefix="gtfs_feed_")
     with zipfile.ZipFile(zip_path) as zf:
         members = {m for m in zf.namelist() if m.endswith(".txt")}
         zf.extractall(out_dir, members=members)
+    # Agency exports commonly nest the feed under a directory prefix
+    # ('export/stops.txt'); a literal 'stops.txt in members' check would
+    # silently load EVERY table as empty. Locate each table wherever the
+    # producer put it.
+    found: dict[str, str] = {}
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            found.setdefault(n, root)
     feeds: dict[str, DataFrame] = {}
     for name, schema in GTFS_SCHEMAS.items():
-        if f"{name}.txt" in members:
-            feeds[name] = load_gtfs_table(spark, out_dir, name)
+        table_dir = found.get(f"{name}.txt")
+        if table_dir is not None:
+            feeds[name] = load_gtfs_table(spark, table_dir, name)
         else:
             feeds[name] = spark.createDataFrame([], schema)
     return feeds
@@ -316,7 +328,16 @@ def expand_frequencies(
             "trip_id",
             (F.col("rep") + F.col("rep_offset")).cast("string"),
         ).alias("trip_id"),
-        _gtfs_clock_str(F.col("arr_s") + shift).alias("arrival_time"),
+        # The first stop's arrival precedes its departure by the dwell, so
+        # a window starting within that dwell of service midnight would
+        # shift the arrival NEGATIVE — unencodable in a GTFS clock string
+        # (_gtfs_clock_str would emit '-1:-1:-50'-style garbage). Clamp at
+        # 00:00:00: a vehicle cannot arrive before the service day starts.
+        # Departures never go negative (dep_s ≥ trip_start_s ⇒ dep+shift ≥
+        # start_s ≥ 0).
+        _gtfs_clock_str(F.greatest(F.lit(0), F.col("arr_s") + shift)).alias(
+            "arrival_time"
+        ),
         _gtfs_clock_str(F.col("dep_s") + shift).alias("departure_time"),
         "stop_id",
         "stop_sequence",
