@@ -91,3 +91,45 @@ def test_numeric_id_extracts_first_digit_run(spark, pairs):
     df = spark.createDataFrame(rows, "trip_id string")
     got = [r.n for r in df.select(numeric_id(F.col("trip_id")).alias("n")).collect()]
     assert got == [num for _, num in pairs]
+
+
+def test_malformed_scalar_inputs_yield_null_not_ansi_abort(spark):
+    """Round-5 review (confirmed on PySpark 4.1.2 default ANSI): a
+    digit-free trip_id or a colon-less clock string used to abort the
+    whole job (CAST_INVALID_INPUT / INVALID_ARRAY_INDEX). One bad row in
+    a real feed must yield NULL, not kill the materialization."""
+    df = spark.createDataFrame(
+        [("no-digits-here", "0510"), ("T123", "05:10"), ("T9", "05:10:00")],
+        "trip_id string, clock string",
+    )
+    rows = df.select(
+        numeric_id(F.col("trip_id")).alias("n"),
+        gtfs_clock_seconds(F.col("clock")).alias("s"),
+    ).collect()
+    assert [r.n for r in rows] == [None, 123, 9]
+    assert [r.s for r in rows] == [None, None, 5 * 3600 + 600]
+
+
+def test_normalize_station_id_never_truncates(spark):
+    """lpad alone TRUNCATES codes longer than the pad width, collapsing
+    distinct codes into collisions; long codes must pass through."""
+    df = spark.createDataFrame(
+        [(42,), (1234567890,), (1234567899,)], "code long"
+    )
+    got = [
+        r.s
+        for r in df.select(
+            normalize_station_id(F.col("code"), 8).alias("s")
+        ).collect()
+    ]
+    assert got == ["00000042", "1234567890", "1234567899"]
+
+
+def test_topk_per_group_rejects_rank_col_collision(spark):
+    import pytest
+
+    from transilien_api_etl_spark.operators.topk import topk_per_group
+
+    df = spark.createDataFrame([(1, 2, 3)], "g long, v long, rn long")
+    with pytest.raises(ValueError, match="rn"):
+        topk_per_group(df, ["g"], [F.col("v")], 1)

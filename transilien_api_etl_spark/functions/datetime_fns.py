@@ -26,13 +26,19 @@ def gtfs_clock_seconds(clock: Column) -> Column:
     """Seconds past service-day midnight from a GTFS 'HH:MM:SS' clock string.
 
     Hours may exceed 23 (up to ~28 in real feeds) — plain integer math, no
-    timestamp parse, so '25:10:00' → 90600.
+    timestamp parse, so '25:10:00' → 90600. Malformed clocks (missing
+    colons, non-numeric fields) yield NULL instead of aborting the job:
+    ``getItem`` on a short array raises INVALID_ARRAY_INDEX under Spark
+    4's default ANSI mode, and one blank departure_time in a real feed
+    must not kill the whole expansion. ``F.get`` is the NULL-tolerant
+    accessor (and matches DuckDB, where out-of-range list indexing is
+    NULL); ``try_cast`` covers non-numeric fields.
     """
     parts = F.split(clock, ":")
     return (
-        parts.getItem(0).cast("long") * 3600
-        + parts.getItem(1).cast("long") * 60
-        + parts.getItem(2).cast("long")
+        F.get(parts, 0).try_cast("long") * 3600
+        + F.get(parts, 1).try_cast("long") * 60
+        + F.get(parts, 2).try_cast("long")
     )
 
 

@@ -49,8 +49,13 @@ def marker_score(tokens: Column, lang: str) -> Column:
 
 
 def predict_lang(tokens: Column) -> Column:
-    """Argmax over per-language marker counts, deterministic tie order
-    (de > fr > es > en as the fallback chain)."""
+    """Argmax over per-language marker counts, deterministic ties.
+
+    Tie semantics (what the branch conditions actually encode, and what
+    any oracle twin must reproduce): a non-English language wins only by
+    STRICTLY beating English ('en' is the prior — any tie with English
+    returns 'en'); among the non-English languages ties break de ≥ fr ≥
+    es. E.g. s_de == s_en > 0 → 'en'; s_de == s_fr > s_en → 'de'."""
     s_en = marker_score(tokens, "en")
     s_de = marker_score(tokens, "de")
     s_fr = marker_score(tokens, "fr")

@@ -26,9 +26,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor (the TPC-H
-# dims grow sub-linearly or not at all; region/nation are constant-size).
-BROADCAST_TABLES = ("region", "nation", "supplier", "customer", "part")
+# Dimension tables small enough to broadcast at ANY scale factor: only
+# region/nation are constant-size (5 / 25 rows). customer, supplier, and
+# part grow LINEARLY with SF (150k/10k/200k rows per SF unit — billions of
+# rows at the 100 TB target), so they must never be blanket-broadcast;
+# the plans broadcast them per-query only after selective filters.
+BROADCAST_TABLES = ("region", "nation")
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
@@ -163,7 +166,7 @@ def _events_ns_to_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-_TS_IS_NANOS_CACHE: dict[str, bool] = {}
+_TS_IS_NANOS_CACHE: dict[tuple[str, float], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
@@ -173,14 +176,22 @@ def _events_ts_is_nanos(path: str) -> bool:
     can only read as a raw long via ``legacy.parquet.nanosAsLong``); files we
     re-materialize ourselves (scale bench, sinks) are standard µs. One cached
     pyarrow footer read per path decides which read schema applies — cheap,
-    driver-side, no Spark job.
+    driver-side, no Spark job. The cache key includes the path's mtime so
+    re-materializing the same path in-process (ns→µs or back) re-reads the
+    footer instead of serving a stale classification — a stale "nanos"
+    answer would silently divide µs values by 1000 (every ts → 1970).
     """
-    if path not in _TS_IS_NANOS_CACHE:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    if key not in _TS_IS_NANOS_CACHE:
         import pyarrow.dataset as ds
 
         field = ds.dataset(path, format="parquet").schema.field("ts")
-        _TS_IS_NANOS_CACHE[path] = getattr(field.type, "unit", None) == "ns"
-    return _TS_IS_NANOS_CACHE[path]
+        _TS_IS_NANOS_CACHE[key] = getattr(field.type, "unit", None) == "ns"
+    return _TS_IS_NANOS_CACHE[key]
 
 
 # Runtime conf holding a comma-separated list of table names whose reads

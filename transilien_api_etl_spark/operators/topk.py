@@ -28,6 +28,13 @@ def topk_per_group(
     k: int,
     rank_col: str = "rn",
 ) -> DataFrame:
+    if rank_col in df.columns:
+        # withColumn would silently OVERWRITE the caller's column and then
+        # filter on the new ranks — original values unrecoverable.
+        raise ValueError(
+            f"column {rank_col!r} already exists on the input; pass a "
+            "different rank_col"
+        )
     w = Window.partitionBy(*group_by).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))

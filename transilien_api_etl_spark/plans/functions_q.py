@@ -125,14 +125,20 @@ def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring ops.",
     tags=("functions", "strings"),
     oracle="""
+WITH s AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CASE WHEN length(CAST(c_custkey AS VARCHAR)) >= 8
+              THEN CAST(c_custkey AS VARCHAR)
+              ELSE lpad(CAST(c_custkey AS VARCHAR), 8, '0') END AS id8
+  FROM customer)
 SELECT c_custkey,
        regexp_extract(c_name, '([0-9]+)', 1)            AS id_str,
-       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
-       lpad(CAST(c_custkey AS VARCHAR), 8, '0')          AS station_id8,
-       substring(lpad(CAST(c_custkey AS VARCHAR), 8, '0'), 1, 7) AS station_id7,
-       upper(substring(c_mktsegment, 1, 3))              AS seg3,
-       CAST(length(c_name) AS INTEGER)                   AS name_len
-FROM customer ORDER BY c_custkey
+       TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+       id8                                              AS station_id8,
+       substring(id8, 1, 7)                             AS station_id7,
+       upper(substring(c_mktsegment, 1, 3))             AS seg3,
+       CAST(length(c_name) AS INTEGER)                  AS name_len
+FROM s ORDER BY c_custkey
 """,
 )
 def fn_strings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

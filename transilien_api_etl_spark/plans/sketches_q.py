@@ -177,27 +177,32 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("o_custkey").alias("sk_direct"),
         F.count_distinct("o_custkey").cast("long").alias("n_exact"),
     )
+    # On the ALL row, est_within_2pct judges the DIRECT single-pass sketch
+    # and merge_within_2pct the union-MERGED one — a drift in either flag
+    # must point at the path that actually drifted (the two were swapped
+    # until round 5; both true on this data, so the oracle hash never saw
+    # the difference, but the diagnosis the query exists for was inverted).
     g = merged.crossJoin(direct).select(
         "grp",
         "n_exact",
-        F.hll_sketch_estimate("sk").alias("est"),
-        F.hll_sketch_estimate("sk_direct").alias("est_direct"),
+        F.hll_sketch_estimate("sk_direct").alias("est_single"),
+        F.hll_sketch_estimate("sk").alias("est_merged"),
     )
     per_rows = per.select(
         "grp",
         "n_exact",
-        F.hll_sketch_estimate("sk").alias("est"),
-        F.hll_sketch_estimate("sk").alias("est_direct"),
+        F.hll_sketch_estimate("sk").alias("est_single"),
+        F.hll_sketch_estimate("sk").alias("est_merged"),
     )
     both = per_rows.unionByName(g)
     return both.select(
         "grp",
         "n_exact",
         (
-            F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") <= 0.02
+            F.abs(F.col("est_single") - F.col("n_exact")) / F.col("n_exact") <= 0.02
         ).alias("est_within_2pct"),
         (
-            F.abs(F.col("est_direct") - F.col("n_exact")) / F.col("n_exact") <= 0.02
+            F.abs(F.col("est_merged") - F.col("n_exact")) / F.col("n_exact") <= 0.02
         ).alias("merge_within_2pct"),
     ).orderBy("grp")
 
