@@ -60,3 +60,26 @@ def test_json_props_malformed_yields_null_not_failure(spark):
     ).select("id", F.col("j.k").alias("k"))
     got = {r.id: r.k for r in parsed.collect()}
     assert got == {1: 5, 2: None, 3: None, 4: None}
+
+
+def test_normalize_passages_nonnumeric_train_num_yields_null(spark):
+    """A producer-controlled <num> that isn't numeric must normalize to a
+    NULL train_num (row kept, unmatched downstream) — not abort the batch
+    with CAST_INVALID_INPUT under Spark 4's default ANSI mode."""
+    from transilien_api_etl_spark.sources.realtime import (
+        normalize_passages,
+        parse_passages,
+    )
+
+    xml = (
+        '<?xml version="1.0"?><passages gare="87271007">'
+        '<train><date mode="R">02/01/2026 08:05</date>'
+        "<num>DEFI13</num><miss>POPI</miss><term>87271007</term></train>"
+        '<train><date mode="R">02/01/2026 08:07</date>'
+        "<num>123401</num><miss>POPI</miss><term>87271007</term></train>"
+        "</passages>"
+    )
+    raw = spark.createDataFrame([("87271007", xml)], "station string, xml string")
+    rows = normalize_passages(parse_passages(raw)).orderBy("expected_ts").collect()
+    assert [r.train_num for r in rows] == [None, 123401]
+    assert [r.status for r in rows] == ["on_time", "on_time"]

@@ -225,6 +225,29 @@ def test_sinks_roundtrip(spark, schedule, tmp_path):
     assert got == {"k1": "newer", "k2": "only", "k3": "fresh"}
 
 
+def test_upsert_first_write_tolerates_precreated_empty_dir(spark, tmp_path):
+    """A pre-created EMPTY target dir (tempfile.mkdtemp shape) must read as
+    "first write", not abort with UNABLE_TO_INFER_SCHEMA — the exact
+    first-batch divergence that broke the incremental dedup store in round
+    4. A dir with REAL but unreadable-as-parquet content must still raise
+    (a corrupt file surfaces as a footer-read SparkException rather than an
+    AnalysisException — either way it must NOT read as "first write")."""
+    import pytest
+
+    pre = tmp_path / "upsert_pre"
+    pre.mkdir()
+    df = spark.createDataFrame([("k1", 1, "v")], "key string, version int, val string")
+    upsert_by_key(df, str(pre), ["key"], "version")
+    assert spark.read.parquet(str(pre)).count() == 1
+
+    poisoned = tmp_path / "upsert_poisoned"
+    poisoned.mkdir()
+    (poisoned / "data.txt").write_text("not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|analysis"):
+        upsert_by_key(df, str(poisoned), ["key"], "version")
+    assert (poisoned / "data.txt").read_text() == "not parquet"
+
+
 def test_delay_board_dedups_repeated_polls(spark, schedule, observed):
     # The realtime shape is repeated polls: the same train observed at 08:03
     # (an earlier poll) AND 08:05 (the later one already in `observed`). The

@@ -98,7 +98,10 @@ def normalize_passages(passages: DataFrame, cutoff_hours: int = 3) -> DataFrame:
         passages.withColumn("expected_ts", expected)
         .withColumn("station7", drop_checksum_digit(F.col("station")))
         .withColumn("service_day", day_of_service(F.col("expected_ts"), cutoff_hours))
-        .withColumn("train_num", F.col("num").cast("long"))
+        # try_cast: the XML <num> text is producer-controlled free text; a
+        # non-numeric train number in one payload must yield a NULL key row
+        # (unmatched downstream), not a job-wide ANSI CAST_INVALID_INPUT.
+        .withColumn("train_num", F.col("num").try_cast("long"))
         .withColumn(
             "status",
             F.when(F.col("etat") == "Supprimé", F.lit("cancelled"))

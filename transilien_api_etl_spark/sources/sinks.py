@@ -48,17 +48,28 @@ def upsert_by_key(
     """
     from pyspark.errors import AnalysisException
 
+    from transilien_api_etl_spark.operators.incremental import _holds_no_data
+
     spark = df.sparkSession
     existing = None
     try:
         existing = spark.read.parquet(path)
     except AnalysisException as e:
-        # Only a missing path means "first write". Anything else (e.g. a
-        # schema/column mismatch) must surface: swallowing it would make
-        # `merged = df` alone and the overwrite below would silently drop
-        # every existing key not present in the incoming batch.
+        # "First write" has two shapes: the path does not exist yet
+        # (PATH_NOT_FOUND) or a caller pre-created an EMPTY directory —
+        # e.g. tempfile.mkdtemp — which raises UNABLE_TO_INFER_SCHEMA
+        # (the exact first-batch divergence that broke the incremental
+        # dedup store in round 4; tolerated only when the dir holds
+        # nothing but committer artifacts). Anything else (a schema/
+        # column mismatch, a dir with real content that still can't be
+        # read) must surface: swallowing it would make `merged = df`
+        # alone and the overwrite below would silently drop every
+        # existing key not present in the incoming batch.
         cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
-        if (cond or "") != "PATH_NOT_FOUND":
+        cond = cond or ""
+        if cond != "PATH_NOT_FOUND" and not (
+            cond == "UNABLE_TO_INFER_SCHEMA" and _holds_no_data(spark, path)
+        ):
             raise
     if existing is None:
         merged = df
