@@ -26,12 +26,13 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor: only
-# region/nation are constant-size (5 / 25 rows). customer, supplier, and
-# part grow LINEARLY with SF (150k/10k/200k rows per SF unit — billions of
-# rows at the 100 TB target), so they must never be blanket-broadcast;
-# the plans broadcast them per-query only after selective filters.
-BROADCAST_TABLES = ("region", "nation")
+# Broadcast policy note (no blanket mechanism on purpose): only
+# region/nation are constant-size (5 / 25 rows) and safe to broadcast at
+# ANY scale factor. customer, supplier, and part grow LINEARLY with SF
+# (150k/10k/200k rows per SF unit — billions of rows at the 100 TB
+# target), so a blanket broadcast hint on their scans would be a
+# scale-killer; the plans broadcast them per-query, only after
+# selective filters (or let AQE decide from runtime sizes).
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
