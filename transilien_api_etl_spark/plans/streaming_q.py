@@ -7,6 +7,7 @@ batch == stream results is a property we *verify*, not assume (SURVEY §6.3).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -177,13 +178,22 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(out_dir)
         )
 
-    run_stream_foreach_batch(s, upsert, "upsert")
-    merged = spark.read.parquet(out_dir)
-    return (
-        exact_dedup(merged, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")])
-        .select("user_id", "event_type", "event_id", "ts")
-        .orderBy("user_id", "event_type")
-    )
+    try:
+        run_stream_foreach_batch(s, upsert, "upsert")
+        merged = spark.read.parquet(out_dir)
+        result = (
+            exact_dedup(
+                merged, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")]
+            )
+            .select("user_id", "event_type", "event_id", "ts")
+            .orderBy("user_id", "event_type")
+        )
+        # Materialize before the staging dir is deleted (the warehouse_q
+        # pattern) — the returned frame must stay valid for the driver's
+        # collect(), and leaving one mkdtemp per run accumulates in /tmp.
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @register(
@@ -334,18 +344,23 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = read_events_stream(spark, sf_dir)
     agg_dir = tempfile.mkdtemp(prefix=f"incagg_{uuid.uuid4().hex[:8]}_")
-    run_stream_foreach_batch(
-        s,
-        lambda df, bid: merge_additive_agg(
-            df, bid, agg_dir, ["event_type"], sum_cols={"value": "total"}
-        ),
-        "incagg",
-    )
-    return (
-        read_additive_agg(spark, agg_dir)
-        .select("event_type", "n", F.round("total", 2).alias("total"))
-        .orderBy("event_type")
-    )
+    try:
+        run_stream_foreach_batch(
+            s,
+            lambda df, bid: merge_additive_agg(
+                df, bid, agg_dir, ["event_type"], sum_cols={"value": "total"}
+            ),
+            "incagg",
+        )
+        result = (
+            read_additive_agg(spark, agg_dir)
+            .select("event_type", "n", F.round("total", 2).alias("total"))
+            .orderBy("event_type")
+        )
+        # materialize-then-clean (warehouse_q pattern): no /tmp leak per run
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(agg_dir, ignore_errors=True)
 
 
 @register(
@@ -494,17 +509,21 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A NOT-yet-existing subpath: mkdtemp pre-creating the corpus dir made
     # batch 0 read an existing-empty dir (UNABLE_TO_INFER_SCHEMA), which
     # merge_seen_dedup used to re-raise, killing the stream (round-4 red).
-    corpus_dir = os.path.join(
-        tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_"), "corpus"
-    )
-    run_stream_foreach_batch(
-        s,
-        lambda df, bid: merge_seen_dedup(
-            df, bid, corpus_dir, ["user_id", "event_type", "value"], "event_id"
-        ),
-        "incdedup",
-    )
-    return read_seen_dedup(spark, corpus_dir).orderBy("event_id")
+    root_dir = tempfile.mkdtemp(prefix=f"incdedup_{uuid.uuid4().hex[:8]}_")
+    corpus_dir = os.path.join(root_dir, "corpus")
+    try:
+        run_stream_foreach_batch(
+            s,
+            lambda df, bid: merge_seen_dedup(
+                df, bid, corpus_dir, ["user_id", "event_type", "value"], "event_id"
+            ),
+            "incdedup",
+        )
+        result = read_seen_dedup(spark, corpus_dir).orderBy("event_id")
+        # materialize-then-clean (warehouse_q pattern): no /tmp leak per run
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root_dir, ignore_errors=True)
 
 
 @register(
