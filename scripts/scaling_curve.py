@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Scaling-linearity probe: time the relational/events headline queries at
+1× (the bench scale cache, 60 M lineitem) and 2× (120 M lineitem / 30 M
+orders / 20 M events), and report the wall-time growth factor per query.
+
+The 100 TB design claim this measures: plan cost should grow ~linearly in
+input size (scan + hash agg + bounded-fanout shuffles), so doubling rows
+should ~double wall time — a superlinear step would expose a hidden
+quadratic (join fan-out, state blow-up) that a single-scale bench cannot
+see. Runs the SAME registered plan functions at both scales, best-of-3
+warm reps, plus the bucketed-at-rest q3/q5 phase at both scales.
+
+Usage: python scripts/scaling_curve.py  (prints one JSON line; ~6 min on
+a warm cache, one-time ~2 min materialization + ~50 s bucketed write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
+
+from transilien_api_etl_spark import plans  # noqa: E402,F401
+from transilien_api_etl_spark.io import (  # noqa: E402
+    BUCKETED_DIR_CONF,
+    BUCKETED_TABLES_CONF,
+    load_table,
+)
+from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
+from transilien_api_etl_spark.scale import materialize_scale, scale_dir_name  # noqa: E402
+from transilien_api_etl_spark.session import build_session  # noqa: E402
+from transilien_api_etl_spark.sources.sinks import ensure_bucketed_external  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries touching only the tables scaled in BOTH caches (relational facts
+# + events; documents/embeddings are omitted from the 2x cache to bound
+# disk, so their queries are out of scope here).
+QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "topk_orders_per_customer",
+    "events_tumbling_1h",
+    "events_sessionize",
+    "asof_join_purchase_click",
+    "range_join_banded_global",
+    "window_rolling_avg",
+)
+BUCKETED = ("q3_shipping_priority", "q5_local_supplier")
+
+X1 = {"lineitem": 100, "orders": 100, "events": 100,
+      "documents": 200, "embeddings": 500}
+X2 = {"lineitem": 200, "orders": 200, "events": 200}
+
+
+def time_queries(spark, data_dir: str, names, reps: int = 3) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, data_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        print(f"# {os.path.basename(data_dir)} {name}: {best:.3f}s", file=sys.stderr)
+    return out
+
+
+def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
+    bucket_dir = data_dir.rstrip("/") + "_bucketed_v2"
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        ensure_bucketed_external(
+            spark,
+            load_table(spark, data_dir, table),
+            f"{table}_bucketed",
+            os.path.join(bucket_dir, table),
+            [key],
+            n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            sort_cols=[key],
+            source_id=os.path.abspath(data_dir),
+        )
+    prev = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+    spark.conf.set(BUCKETED_DIR_CONF, data_dir)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        return time_queries(spark, data_dir, BUCKETED)
+    finally:
+        spark.conf.set(BUCKETED_TABLES_CONF, "")
+        spark.conf.set(BUCKETED_DIR_CONF, "")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
+
+
+def main() -> None:
+    spark = build_session(app_name="scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d1 = os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X1))
+    d2 = os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X2))
+    t0 = time.perf_counter()
+    rows1 = materialize_scale(spark, SF_DIR, d1, X1)
+    rows2 = materialize_scale(spark, SF_DIR, d2, X2)
+    print(f"# caches ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # warm both caches through the cheapest scan before timing
+    REGISTRY["q1_pricing_summary"].fn(spark, d1).count()
+    REGISTRY["q1_pricing_summary"].fn(spark, d2).count()
+
+    t1 = time_queries(spark, d1, QUERIES)
+    t2 = time_queries(spark, d2, QUERIES)
+    b1 = bucketed_phase(spark, d1)
+    b2 = bucketed_phase(spark, d2)
+
+    growth = {q: round(t2[q] / t1[q], 2) for q in QUERIES if t1[q] > 0}
+    bgrowth = {q: round(b2[q] / b1[q], 2) for q in BUCKETED if b1[q] > 0}
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve_2x",
+                "rows_1x": rows1,
+                "rows_2x": rows2,
+                "t_1x": t1,
+                "t_2x": t2,
+                "growth_2x": growth,
+                "bucketed_1x": b1,
+                "bucketed_2x": b2,
+                "bucketed_growth_2x": bgrowth,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
