@@ -22,10 +22,14 @@ Prints exactly ONE JSON line:
                "ratio": {...}, "ratio_median": N}}
 
 Timing discipline: one shared SparkSession (a cluster user amortizes JVM
-startup the same way), one untimed warm-up query to JIT the codegen paths,
-then each query timed end-to-end including its action (count of the
-materialized result — collect would measure Arrow transfer, which is the
-caller's cost, not the plan's).
+startup the same way), one untimed warm-up rep per query per engine (cold
+page-cache + JIT), then the MEDIAN of 3 timed warm reps (2 past the 5 s
+slow-query cutoff) on BOTH engines — raw reps ride in ``*_reps`` sidecar
+fields so any graded number can be audited against its spread (VERDICT r5
+task 1: single-shot grading recorded 2× phantom regressions on sub-second
+queries). Each rep times the query end-to-end including its action (count
+of the materialized result — collect would measure Arrow transfer, which
+is the caller's cost, not the plan's).
 """
 
 from __future__ import annotations
@@ -73,43 +77,62 @@ def sf_from_dir(path: str) -> float:
         return -1.0
 
 
-# Spark queries still slower than this after their second rep (the first
-# rep may be cold-cache; DuckDB is timed warm) skip further reps — a 30 s
-# scan re-run 3× buys noise reduction nobody needs. Worst case a slow
-# query costs 2 reps, the price of not recording cold-read phantoms.
+# A query whose warm-up rep is still slower than this gets 2 timed reps
+# instead of 3 — bounded cost for the multi-second shapes while every
+# recorded number stays a warm-rep median, never a single shot and never
+# a cold-page-cache phantom (observed r4: banded range join 9.4 s cold vs
+# 3.1 s warm; observed r5: the GRADED run recorded single-shot ratios up
+# to 2.4 on sub-second queries that re-measured at 1.1-1.2 on a quiet box
+# — the medians below are VERDICT r5 task 1's fix for exactly that).
 SLOW_QUERY_CUTOFF_S = 5.0
 
 
+def _median_reps(run, warm_s) -> tuple[float, list[float]]:
+    """Median of warm timed reps (3, or 2 once warm_s exceeds the slow
+    cutoff). Raw reps are returned for the JSON sidecar so a graded
+    number can always be audited against its spread."""
+    n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else 3
+    raw = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        run()
+        raw.append(round(time.perf_counter() - t0, 4))
+    return round(statistics.median(raw), 4), raw
+
+
 def time_spark(
-    specs, spark, data_dir, reps, skipped=None, skip_label="spark"
-) -> dict[str, float]:
+    specs, spark, data_dir, skipped=None, skip_label="spark"
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
     for name in sorted(specs):
         if skipped is not None and remaining() <= 30:
             skipped.append(f"{skip_label}:{name}")
             continue
-        best, n = float("inf"), 0
-        # Best-of-N measures the plan, not JIT/GC noise. The slow-query
-        # cutoff only fires AFTER rep 2: the DuckDB side is timed
-        # warm (rep 0 discarded), so a Spark first rep that pays the cold
-        # page-cache read of a multi-GB fact table must not stand as the
-        # recorded number (observed: banded range join 9.4 s cold vs
-        # 3.1 s warm at the 60 M scale — a phantom 3× "regression").
-        for rep in range(reps):
-            t0 = time.perf_counter()
-            n = specs[name].fn(spark, data_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            if rep >= 1 and best > SLOW_QUERY_CUTOFF_S:
-                break
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-    return timings
+        # Untimed warm-up rep: pays the cold page-cache read and JIT so
+        # the timed reps measure the plan.
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, data_dir).count()
+        warm_s = time.perf_counter() - t0
+        timings[name], raw_reps[name] = _median_reps(
+            lambda: specs[name].fn(spark, data_dir).count(), warm_s
+        )
+        print(
+            f"# {name}: {timings[name]:.3f}s median of {raw_reps[name]}"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
+    return timings, raw_reps
 
 
-def time_duckdb(specs, data_dir, reps, skipped=None) -> dict[str, float]:
+def time_duckdb(
+    specs, data_dir, skipped=None
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Run each query's oracle SQL on DuckDB views over the same parquet.
 
-    Each run is watchdog-guarded (``con.interrupt()``): one pathological
+    Same discipline as the Spark side: one untimed warm rep, then the
+    median of 3 (2 past the slow cutoff) timed reps. Each run is
+    watchdog-guarded (``con.interrupt()``): one pathological
     single-process oracle (the as-of/sessionize shapes take minutes at 60 M
     rows) must not eat the whole budget of the remaining queries.
     """
@@ -124,6 +147,21 @@ def time_duckdb(specs, data_dir, reps, skipped=None) -> dict[str, float]:
             p = os.path.join(p, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
+
+    def guarded_run(sql: str, cap: float) -> float | None:
+        """One watchdogged execution; returns elapsed or None on interrupt."""
+        timer = threading.Timer(cap, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        except duckdb.Error:
+            return None
+        finally:
+            timer.cancel()
+        return time.perf_counter() - t0
+
     for name in sorted(specs):
         sql = REGISTRY[name].oracle
         if not sql:
@@ -132,35 +170,28 @@ def time_duckdb(specs, data_dir, reps, skipped=None) -> dict[str, float]:
             skipped.append(f"duckdb:{name}")
             continue
         per_query_cap = max(10.0, min(150.0, remaining() - 15))
-        best = float("inf")
-        for rep in range(reps + 1):  # rep 0 warms I/O cache + duckdb compile
-            timer = threading.Timer(per_query_cap, con.interrupt)
-            timer.start()
-            t0 = time.perf_counter()
-            try:
-                con.execute(sql).fetchall()
-            except duckdb.Error:
-                timer.cancel()
-                # Record the cap as a LOWER BOUND on DuckDB's time (flagged
-                # in `skipped`): the Spark/DuckDB ratio derived from it is
-                # then a conservative upper bound instead of a silent hole.
-                if skipped is not None:
-                    skipped.append(f"duckdb-timeout-lower-bound:{name}")
-                best = per_query_cap
-                break
-            finally:
-                timer.cancel()
-            elapsed = time.perf_counter() - t0
-            if rep > 0 or elapsed > SLOW_QUERY_CUTOFF_S:
-                best = min(best, elapsed)
-            if elapsed > SLOW_QUERY_CUTOFF_S:
-                break
-        if best == float("inf"):
+        warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
+        if warm_s is None:
+            # Record the cap as a LOWER BOUND on DuckDB's time (flagged
+            # in `skipped`): the Spark/DuckDB ratio derived from it is
+            # then a conservative upper bound instead of a silent hole.
+            if skipped is not None:
+                skipped.append(f"duckdb-timeout-lower-bound:{name}")
+            timings[name] = round(per_query_cap, 4)
+            print(f"# duckdb {name}: >={per_query_cap:.0f}s (cap)", file=sys.stderr)
             continue
-        timings[name] = round(best, 4)
-        print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
+        raw = []
+        for _ in range(2 if warm_s > SLOW_QUERY_CUTOFF_S else 3):
+            elapsed = guarded_run(sql, per_query_cap)
+            raw.append(round(per_query_cap if elapsed is None else elapsed, 4))
+        timings[name] = round(statistics.median(raw), 4)
+        raw_reps[name] = raw
+        print(
+            f"# duckdb {name}: {timings[name]:.3f}s median of {raw}",
+            file=sys.stderr,
+        )
     con.close()
-    return timings
+    return timings, raw_reps
 
 
 def main() -> None:
@@ -172,14 +203,16 @@ def main() -> None:
     warm = specs.get("q1_pricing_summary") or next(iter(specs.values()))
     warm.fn(spark, SF_DIR).count()
 
-    timings = time_spark(specs, spark, SF_DIR, reps=3)
+    timings, reps_raw = time_spark(specs, spark, SF_DIR)
     total = round(sum(timings.values()), 4)
 
     result = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "stat": "median_of_warm_reps",
         "queries": timings,
+        "queries_reps": reps_raw,
         "sf": sf_from_dir(SF_DIR),
     }
 
@@ -194,16 +227,19 @@ def main() -> None:
             file=sys.stderr,
         )
         warm.fn(spark, SCALE_DIR).count()
-        spark_t = time_spark(specs, spark, SCALE_DIR, reps=3, skipped=skipped)
-        duck_t = time_duckdb(specs, SCALE_DIR, reps=2, skipped=skipped)
+        spark_t, spark_reps = time_spark(specs, spark, SCALE_DIR, skipped=skipped)
+        duck_t, duck_reps = time_duckdb(specs, SCALE_DIR, skipped=skipped)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
         }
         result["scale"] = {
             "factors": DEFAULT_FACTORS,
             "rows": rows,
+            "stat": "median_of_warm_reps",
             "spark": spark_t,
             "duckdb": duck_t,
+            "spark_reps": spark_reps,
+            "duckdb_reps": duck_reps,
             "ratio": ratio,
             "ratio_median": round(statistics.median(ratio.values()), 3) if ratio else None,
         }
@@ -260,11 +296,10 @@ def main() -> None:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
             try:
-                bspark_t = time_spark(
+                bspark_t, bspark_reps = time_spark(
                     bucket_specs,
                     spark,
                     SCALE_DIR,
-                    reps=3,
                     skipped=skipped,
                     skip_label="spark-bucketed",
                 )
@@ -277,6 +312,7 @@ def main() -> None:
                 )
             result["scale"]["bucketed"] = {
                 "spark": bspark_t,
+                "spark_reps": bspark_reps,
                 "ratio": {
                     q: round(bspark_t[q] / duck_t[q], 3)
                     for q in bspark_t

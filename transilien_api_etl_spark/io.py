@@ -237,3 +237,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def materialize_small(result: DataFrame, max_rows: int = 100_000) -> DataFrame:
+    """Round-trip a FINAL small query result through the driver.
+
+    The materialize-then-clean pattern: sink-backed queries stage
+    intermediate files in a per-run temp dir, and the returned frame must
+    outlive that dir's cleanup — so the final (small) result is collected
+    and re-wrapped as a local DataFrame. This helper is the ONLY sanctioned
+    way to do that: it enforces a hard row cap so a future query edit can't
+    silently route a large distributed result through the driver (VERDICT
+    r5 task 6). ``limit(max_rows + 1)`` bounds the transfer itself — the
+    guard never fetches more than one row past the cap.
+    """
+    rows = result.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"materialize_small: result exceeds {max_rows} rows — this "
+            "helper is for final driver-sized results only; write large "
+            "results to a sink instead of collecting them"
+        )
+    return result.sparkSession.createDataFrame(rows, result.schema)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import load_table, materialize_small
 from transilien_api_etl_spark.operators.components import pagerank
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
@@ -150,7 +150,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage is the full 4-table fact join; six downstream references
     # would re-run that join six times. Materialize it once driver-side —
     # the same "small model state" contract as k-means centroids.
-    pair = spark.createDataFrame(lazy_pair.collect(), lazy_pair.schema)
+    pair = materialize_small(lazy_pair, max_rows=1_000)
     e1, e2, e3 = pair.alias("e1"), pair.alias("e2"), pair.alias("e3")
     tri = (
         e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")))

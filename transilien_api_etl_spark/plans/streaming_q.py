@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import load_table, materialize_small
 from transilien_api_etl_spark.operators.dedup import exact_dedup
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
@@ -191,7 +191,7 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
         # Materialize before the staging dir is deleted (the warehouse_q
         # pattern) — the returned frame must stay valid for the driver's
         # collect(), and leaving one mkdtemp per run accumulates in /tmp.
-        return spark.createDataFrame(result.collect(), result.schema)
+        return materialize_small(result)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -358,7 +358,7 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
         # materialize-then-clean (warehouse_q pattern): no /tmp leak per run
-        return spark.createDataFrame(result.collect(), result.schema)
+        return materialize_small(result)
     finally:
         shutil.rmtree(agg_dir, ignore_errors=True)
 
@@ -521,7 +521,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = read_seen_dedup(spark, corpus_dir).orderBy("event_id")
         # materialize-then-clean (warehouse_q pattern): no /tmp leak per run
-        return spark.createDataFrame(result.collect(), result.schema)
+        return materialize_small(result)
     finally:
         shutil.rmtree(root_dir, ignore_errors=True)
 

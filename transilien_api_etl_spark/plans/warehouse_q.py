@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import load_table, materialize_small
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 from transilien_api_etl_spark.sources import lakehouse as lh
@@ -89,7 +89,7 @@ def lakehouse_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize before the table dir is deleted — the returned frame
         # must stay valid for the driver's collect().
-        out = spark.createDataFrame(result.collect(), result.schema)
+        out = materialize_small(result)
         return out
     finally:
         shutil.rmtree(table, ignore_errors=True)
@@ -152,7 +152,7 @@ def lakehouse_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("change_type")
         )
-        return spark.createDataFrame(result.collect(), result.schema)
+        return materialize_small(result)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -197,6 +197,6 @@ def lakehouse_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderpriority")
         )
-        return spark.createDataFrame(result.collect(), result.schema)
+        return materialize_small(result)
     finally:
         shutil.rmtree(table, ignore_errors=True)
