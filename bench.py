@@ -265,7 +265,12 @@ def main() -> None:
             # factor change (new SCALE_DIR) gets its own bucketed copy;
             # source_id in the spec marker additionally forces a rewrite
             # if this dir is ever re-pointed at different source data.
-            bucket_dir = SCALE_DIR.rstrip("/") + "_bucketed_v2"
+            # 2× the core count (r6 A/B at 60 M rows: q3 1.17 s @ 32
+            # buckets → 0.86 s @ 64 → 1.20 s @ 128 — two half-size waves
+            # balance the bucket-capped scan+agg pipeline better than one
+            # full-size wave; beyond that, per-task overhead wins).
+            n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            bucket_dir = SCALE_DIR.rstrip("/") + f"_bucketed_v2_{n_buckets}"
             t0 = time.perf_counter()
             for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
                 ensure_bucketed_external(
@@ -274,7 +279,7 @@ def main() -> None:
                     f"{table}_bucketed",
                     os.path.join(bucket_dir, table),
                     [key],
-                    n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    n_buckets=n_buckets,
                     sort_cols=[key],
                     source_id=os.path.abspath(SCALE_DIR),
                 )

@@ -72,7 +72,9 @@ def time_queries(spark, data_dir: str, names, reps: int = 3) -> dict[str, float]
 
 
 def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
-    bucket_dir = data_dir.rstrip("/") + "_bucketed_v2"
+    # 2x cores, matching bench.py phase 2c (r6 bucket-count A/B)
+    n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bucket_dir = data_dir.rstrip("/") + f"_bucketed_v2_{n_buckets}"
     for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         ensure_bucketed_external(
             spark,
@@ -80,7 +82,7 @@ def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
             f"{table}_bucketed",
             os.path.join(bucket_dir, table),
             [key],
-            n_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            n_buckets=n_buckets,
             sort_cols=[key],
             source_id=os.path.abspath(data_dir),
         )
