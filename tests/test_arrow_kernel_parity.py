@@ -112,3 +112,49 @@ def test_sq8_arrow_bit_equals_hof_fold(spark):
     assert [(r["vec_id"], r["cos_q8"]) for r in hof] == [
         (r["vec_id"], r["cos_q8"]) for r in arrow
     ]  # EXACT float equality — encode, dequant, and fold all replayed
+
+
+def test_topk_prefilter_is_tie_safe_and_value_preserving(spark):
+    """The per-batch top-k SUPERSET must keep every row that could enter
+    the global top-k after the caller's 8-dp rounding + vec_id tie-break:
+    rows within 2e-8 raw score of the kth row survive the filter, and the
+    scores that do cross are bit-identical to the unfiltered kernel's."""
+    from transilien_api_etl_spark.functions.vectors import cosine_scores_arrow
+
+    dim = 4
+    q = [1.0, 0.0, 0.0, 0.0]
+    # vec_id 1..8: first coordinate decides cos; ids 3..8 are one rounding
+    # quantum apart around the k=2 boundary (cos ≈ x / |v| with unit-ish
+    # rows — keep it simple: vectors (x, eps, 0, 0) with tiny eps give
+    # cos ≈ x/sqrt(x²+eps²), strictly increasing in x).
+    rows = [(i, [1.0 - i * 1e-9, 1e-6, 0.0, 0.0]) for i in range(1, 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_scores_arrow(emb, q, 1.0).collect()
+    }
+    filt = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_scores_arrow(emb, q, 1.0, topk_prefilter=2).collect()
+    }
+    # every row within 2e-8 of the 2nd-best raw score must survive;
+    # here ALL rows are within 8e-9 of the best, so none may be dropped
+    assert set(filt) == set(full)
+    assert all(filt[k] == full[k] for k in full)  # exact bits
+
+    # a clearly-separated corpus does filter down to a k-superset
+    # (cos = 1/sqrt(1+i²), strictly decreasing in i — NOT colinear rows,
+    # whose cosine is 1.0 regardless of magnitude)
+    rows = [(i, [1.0, float(i), 0.0, 0.0]) for i in range(1, 101)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one_part = emb.repartition(1)
+    filt = cosine_scores_arrow(one_part, q, 1.0, topk_prefilter=5).collect()
+    assert len(filt) < 100  # actually filtered
+    top = sorted(filt, key=lambda r: -r["cos_sim"])[:5]
+    full5 = sorted(
+        cosine_scores_arrow(one_part, q, 1.0).collect(),
+        key=lambda r: -r["cos_sim"],
+    )[:5]
+    assert [(r["vec_id"], r["cos_sim"]) for r in top] == [
+        (r["vec_id"], r["cos_sim"]) for r in full5
+    ]

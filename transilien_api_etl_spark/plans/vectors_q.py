@@ -92,7 +92,9 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in qvec:  # same sequential fold as l2_norm
         qn += x * x
     qn = qn ** 0.5
-    scored = cosine_scores_arrow(emb.filter(F.col("vec_id") != 0), qvec, qn)
+    scored = cosine_scores_arrow(
+        emb.filter(F.col("vec_id") != 0), qvec, qn, topk_prefilter=10
+    )
     return (
         scored.select("vec_id", F.round("cos_sim", 8).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
