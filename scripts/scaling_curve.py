@@ -49,6 +49,7 @@ QUERIES = (
     "events_sessionize",
     "asof_join_purchase_click",
     "range_join_banded_global",
+    "range_agg_prefix_sum",
     "window_rolling_avg",
 )
 BUCKETED = ("q3_shipping_priority", "q5_local_supplier")

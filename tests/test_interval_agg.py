@@ -89,3 +89,28 @@ def test_zero_match_rows_dropped_and_negatives_exact(spark):
     assert rows[0].pid == 1
     assert rows[0].n_matches == 2
     assert rows[0].sum_cents == -4
+
+
+def test_null_timestamps_match_banded_semantics(spark):
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (2, None)], "pid long, pts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(t0 - dt.timedelta(seconds=5), 3), (None, 99)],
+        "cts timestamp, cents long",
+    )
+    rows = interval_agg_prefix_sum(
+        left, right, "pts", "cts", -300, 0, ["cents"], ["pid"]
+    ).collect()
+    # NULL never satisfies the interval predicate: the NULL-ts probe row
+    # is dropped and the NULL-ts click counts for nobody
+    assert [(r.pid, r.n_matches, r.sum_cents) for r in rows] == [(1, 1, 3)]
+
+    with pytest.raises(ValueError, match="collide"):
+        interval_agg_prefix_sum(
+            left.withColumnRenamed("pid", "_cnt"),
+            right, "pts", "cts", -300, 0, ["cents"], ["_cnt"],
+        )

@@ -295,6 +295,18 @@ def interval_agg_prefix_sum(
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
+    reserved = {"_us", "_tag", "_sign", "_blk", "_cnt"} | {
+        f"_m_{c}" for c in sum_cols
+    }
+    clash = reserved & set(left_keys)
+    if clash:
+        raise ValueError(f"left_keys collide with scan columns: {sorted(clash)}")
+    # NULL timestamps never satisfy the interval predicate in the
+    # pair-materializing plan; filtering them here (instead of letting
+    # NULL probes and NULL points meet as peers in the NULL sort group)
+    # keeps the two plans' answers identical.
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     key_fields = [(f.name, f.dataType) for f in left.select(*left_keys).schema.fields]
     zero = F.lit(0).cast("long")
     meas = ["_cnt"] + [f"_m_{c}" for c in sum_cols]
