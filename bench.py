@@ -87,11 +87,11 @@ def sf_from_dir(path: str) -> float:
 SLOW_QUERY_CUTOFF_S = 5.0
 
 
-def _median_reps(run, warm_s) -> tuple[float, list[float]]:
-    """Median of warm timed reps (3, or 2 once warm_s exceeds the slow
-    cutoff). Raw reps are returned for the JSON sidecar so a graded
+def _median_reps(run, warm_s, n_reps=3) -> tuple[float, list[float]]:
+    """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
+    slow cutoff). Raw reps are returned for the JSON sidecar so a graded
     number can always be audited against its spread."""
-    n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else 3
+    n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else n_reps
     raw = []
     for _ in range(n_reps):
         t0 = time.perf_counter()
@@ -101,7 +101,7 @@ def _median_reps(run, warm_s) -> tuple[float, list[float]]:
 
 
 def time_spark(
-    specs, spark, data_dir, skipped=None, skip_label="spark"
+    specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
@@ -115,7 +115,7 @@ def time_spark(
         n = specs[name].fn(spark, data_dir).count()
         warm_s = time.perf_counter() - t0
         timings[name], raw_reps[name] = _median_reps(
-            lambda: specs[name].fn(spark, data_dir).count(), warm_s
+            lambda: specs[name].fn(spark, data_dir).count(), warm_s, n_reps
         )
         print(
             f"# {name}: {timings[name]:.3f}s median of {raw_reps[name]}"
@@ -301,12 +301,15 @@ def main() -> None:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
             try:
+                # the two bucketed queries are ~1 s each: 5 reps cost ~4 s
+                # and harden the round's most bar-sensitive median
                 bspark_t, bspark_reps = time_spark(
                     bucket_specs,
                     spark,
                     SCALE_DIR,
                     skipped=skipped,
                     skip_label="spark-bucketed",
+                    n_reps=5,
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
