@@ -123,6 +123,7 @@ def sq8_cosine_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    topk_prefilter: int | None = None,
 ) -> DataFrame:
     """Encode+dequant+cosine as ONE Arrow-batched numpy kernel — the
     vectorized quantized scan. Returns (id_col, cos_q8) with cos_q8
@@ -178,5 +179,6 @@ def sq8_cosine_arrow(
         id_col=id_col,
         vec_col=vec_col,
         out_col="cos_q8",
+        topk_prefilter=topk_prefilter,
         dim_transform=dequant,
     )
