@@ -90,10 +90,15 @@ SLOW_QUERY_CUTOFF_S = 5.0
 def _median_reps(run, warm_s, n_reps=3) -> tuple[float, list[float]]:
     """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
     slow cutoff). Raw reps are returned for the JSON sidecar so a graded
-    number can always be audited against its spread."""
+    number can always be audited against its spread. Reps stop early when
+    the remaining budget could not absorb another rep of this query's
+    observed cost — a median of fewer warm reps beats a harness kill that
+    loses the whole JSON line."""
     n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else n_reps
     raw = []
     for _ in range(n_reps):
+        if raw and remaining() < max(raw) + 30:
+            break
         t0 = time.perf_counter()
         run()
         raw.append(round(time.perf_counter() - t0, 4))
@@ -178,12 +183,26 @@ def time_duckdb(
             if skipped is not None:
                 skipped.append(f"duckdb-timeout-lower-bound:{name}")
             timings[name] = round(per_query_cap, 4)
+            raw_reps[name] = []  # no measured reps back this number
             print(f"# duckdb {name}: >={per_query_cap:.0f}s (cap)", file=sys.stderr)
             continue
         raw = []
+        hit_cap = False
         for _ in range(2 if warm_s > SLOW_QUERY_CUTOFF_S else 3):
-            elapsed = guarded_run(sql, per_query_cap)
-            raw.append(round(per_query_cap if elapsed is None else elapsed, 4))
+            # Re-derive the cap each rep: the budget keeps draining while
+            # reps run, and a cap computed once before the warm rep could
+            # let 3 near-cap reps overshoot BUDGET_S by minutes — an
+            # external harness kill then loses the whole JSON line.
+            cap = max(5.0, min(per_query_cap, remaining() - 15))
+            elapsed = guarded_run(sql, cap)
+            if elapsed is None:
+                hit_cap = True
+                raw.append(round(cap, 4))
+            else:
+                raw.append(round(elapsed, 4))
+        if hit_cap and skipped is not None:
+            # A mid-rep interrupt is a lower bound too, not a measurement.
+            skipped.append(f"duckdb-timeout-lower-bound:{name}")
         timings[name] = round(statistics.median(raw), 4)
         raw_reps[name] = raw
         print(

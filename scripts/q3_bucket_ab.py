@@ -74,8 +74,10 @@ def measure(label: str, names=("q3_shipping_priority", "q5_local_supplier")) -> 
         for name in names:
             fn = REGISTRY[name].fn
             df = fn(spark, SCALE)
+            df.count()  # warm; also finalizes the adaptive plan
+            # read the plan AFTER execution — pre-execution it stringifies
+            # AQE's initial plan, not what actually ran
             n_ex = df._jdf.queryExecution().executedPlan().toString().count("Exchange")
-            fn(spark, SCALE).count()  # warm
             raw = []
             for _ in range(3):
                 t0 = time.perf_counter()

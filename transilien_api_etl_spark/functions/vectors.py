@@ -137,7 +137,7 @@ def cosine_scores_arrow(
                 # where TakeOrderedAndProject still computes the exact
                 # global top-k. The kept set is tie-safe under the
                 # caller's 8-dp JVM rounding: any dropped row sits more
-                # than 2e-8 (4 rounding quanta) of raw score below k
+                # than 2e-8 (two full 8-dp quanta) of raw score below k
                 # surviving rows, so its ROUNDED value is strictly below
                 # theirs and no vec_id tie-break can ever promote it.
                 # Scores themselves are emitted unchanged (selection

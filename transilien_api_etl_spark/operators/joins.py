@@ -295,12 +295,18 @@ def interval_agg_prefix_sum(
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
-    reserved = {"_us", "_tag", "_sign", "_blk", "_cnt"} | {
-        f"_m_{c}" for c in sum_cols
-    }
+    base = ["_cnt"] + [f"_m_{c}" for c in sum_cols]
+    reserved = (
+        {"_us", "_tag", "_sign", "_blk", "n_matches"}
+        | set(base)
+        | {f"{p}{m}" for m in base for p in ("_cum", "_pri", "_tot")}
+        | {f"sum_{c}" for c in sum_cols}
+    )
     clash = reserved & set(left_keys)
     if clash:
-        raise ValueError(f"left_keys collide with scan columns: {sorted(clash)}")
+        raise ValueError(
+            f"left_keys collide with internal/output columns: {sorted(clash)}"
+        )
     # NULL timestamps never satisfy the interval predicate in the
     # pair-materializing plan; filtering them here (instead of letting
     # NULL probes and NULL points meet as peers in the NULL sort group)

@@ -191,7 +191,9 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
         # Materialize before the staging dir is deleted (the warehouse_q
         # pattern) — the returned frame must stay valid for the driver's
         # collect(), and leaving one mkdtemp per run accumulates in /tmp.
-        return materialize_small(result)
+        # O(distinct users × event types) result — grows with SF, so this
+        # site gets the raised-but-still-hard 2M cap.
+        return materialize_small(result, max_rows=2_000_000)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -520,8 +522,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "incdedup",
         )
         result = read_seen_dedup(spark, corpus_dir).orderBy("event_id")
-        # materialize-then-clean (warehouse_q pattern): no /tmp leak per run
-        return materialize_small(result)
+        # materialize-then-clean (warehouse_q pattern): no /tmp leak per
+        # run. The deduped corpus is O(distinct events) — 99.9k rows at
+        # sf0.1, a hair under the helper's default cap — so this site
+        # gets an explicit 2M cap: still a hard bound (few-MB driver
+        # transfer at worst), but one the harness's largest SF cannot
+        # graze by regenerated-fixture luck.
+        return materialize_small(result, max_rows=2_000_000)
     finally:
         shutil.rmtree(root_dir, ignore_errors=True)
 
