@@ -1,7 +1,7 @@
 """Drive the repo's driver contract end-to-end, as the harness would:
 import __spark_entry__ from a foreign cwd, smoke entry(), then run every
 queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB."""
-import hashlib, sys, time
+import hashlib, os, sys, time
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ent
 import duckdb
@@ -19,7 +19,7 @@ print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) > 0
 
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
