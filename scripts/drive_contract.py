@@ -37,7 +37,12 @@ if only:
 ok = bad = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
-    spdf = fn(spark, SF).toPandas()
+    try:
+        spdf = fn(spark, SF).toPandas()
+    except Exception as e:  # the real driver records ERR and moves on
+        print(f"  ERR {name}: {type(e).__name__}: {str(e)[:140]} [{time.time()-t0:.1f}s]")
+        bad += 1
+        continue
     if name not in os_:
         print(f"  rows-only {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]"); ok += 1; continue
     dpdf = con.execute(os_[name]).df()

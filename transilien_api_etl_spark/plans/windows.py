@@ -387,10 +387,10 @@ WITH y AS (
 m AS (
   SELECT event_type,
          count(*) AS n,
-         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-         CAST(sum(CAST(yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-         CAST(sum(CAST(yc * yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s4
+         CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS s2,
+         CAST(sum(CAST(yc AS HUGEINT) * yc * yc) AS DOUBLE) AS s3,
+         CAST(sum(CAST(yc AS HUGEINT) * yc * yc * yc) AS DOUBLE) AS s4
   FROM y GROUP BY event_type)
 SELECT event_type, n,
        round(s1 / n / 100, 6) AS mean_value,
@@ -409,15 +409,19 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     yc = F.round(F.col("value") * 100).cast("long")
     y = e.select("event_type", yc.alias("yc"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Widen BEFORE the cube/4th power, not after: yc⁴ in BIGINT overflows
+    # once |value| exceeds ~551 (observed at sf0.1: max 560.21 →
+    # 9.85e18 > 2⁶³; the 10× parity gate caught this). decimal(38,0)
+    # per-row products stay exact to 1e38; the oracle widens to HUGEINT
+    # the same way, so the integer sums — and their one double cast —
+    # remain bit-equal across engines.
+    d = F.col("yc").cast("decimal(38,0)")
     m = y.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("yc"))).cast("double").alias("s1"),
-        F.sum(dec(F.col("yc") * F.col("yc"))).cast("double").alias("s2"),
-        F.sum(dec(F.col("yc") * F.col("yc") * F.col("yc"))).cast("double").alias("s3"),
-        F.sum(dec(F.col("yc") * F.col("yc") * F.col("yc") * F.col("yc")))
-        .cast("double")
-        .alias("s4"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(d * d * d).cast("double").alias("s3"),
+        F.sum(d * d * d * d).cast("double").alias("s4"),
     )
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     mu = s1 / n
