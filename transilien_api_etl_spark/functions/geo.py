@@ -49,6 +49,21 @@ def nearest_k_stations(
     so duplicate probe rows would otherwise share one partition and split
     a single top-k between them; identical probes have identical answers,
     so callers needing multiplicity re-join on the probe columns."""
+    overlap = set(probes.columns) & set(stops.columns)
+    if overlap:
+        raise ValueError(
+            "nearest_k_stations: probe and stop frames share column names "
+            f"{sorted(overlap)} — the crossJoin would make every haversine/"
+            "tie-break reference ambiguous. Rename or project the probe "
+            "side first (e.g. stops-as-probes: select stop_id AS probe_id, "
+            "stop_lat AS lat, stop_lon AS lon)."
+        )
+    clash = {"dist_km", "_rk"} & (set(probes.columns) | set(stops.columns))
+    if clash:
+        raise ValueError(
+            f"nearest_k_stations: input already has {sorted(clash)} — these "
+            "are this function's output/internal columns; rename them first"
+        )
     j = probes.distinct().crossJoin(F.broadcast(stops)).withColumn(
         "dist_km",
         haversine_km(

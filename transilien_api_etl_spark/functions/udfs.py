@@ -17,17 +17,28 @@ from pyspark.sql import types as T
 
 @F.pandas_udf(T.LongType())
 def token_count_pudf(text: pd.Series) -> pd.Series:
-    """X1 scalar series→series: whitespace token count (Arrow-batched)."""
-    return text.str.split(" ").str.len().astype("int64")
+    """X1 scalar series→series: whitespace token count (Arrow-batched).
+    NULL text yields NULL (nullable Int64) like the size(split) built-in
+    twin — one blank field in a real feed must not kill the whole job
+    (``.astype('int64')`` on the NaN a None produces raises)."""
+    return text.str.split(" ").str.len().astype("Int64")
 
 
 @F.pandas_udf(T.DoubleType())
 def weighted_avg_pudf(value: pd.Series, weight: pd.Series) -> float:
     """X3 grouped-agg UDAF: Σwx/Σw. Plain float64 sums (sequential), so the
-    DuckDB sum(w*x)/sum(w) twin agrees to rounding precision."""
+    DuckDB sum(w*x)/sum(w) twin agrees to rounding precision. Rows where
+    either side is NULL are skipped — SQL aggregate semantics, matching
+    the oracle twin (np.dot would otherwise poison the group to NaN);
+    an all-NULL or zero-weight group returns NULL, not inf/NaN."""
     w = weight.to_numpy(dtype="float64")
     x = value.to_numpy(dtype="float64")
-    return float(np.dot(w, x) / w.sum())
+    keep = ~(np.isnan(w) | np.isnan(x))
+    w, x = w[keep], x[keep]
+    tw = w.sum()
+    if w.size == 0 or tw == 0.0:
+        return None
+    return float(np.dot(w, x) / tw)
 
 
 def simhash64(tokens: list[str]) -> int:

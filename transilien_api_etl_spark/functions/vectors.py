@@ -103,7 +103,18 @@ def cosine_scores_arrow(
                     f"{vec_col} contains {vecs.null_count} NULL embedding(s); "
                     "filter them out before the cosine kernel"
                 )
-            flat = np.asarray(vecs.flatten(), dtype=np.float64)
+            flat_pa = vecs.flatten()
+            if flat_pa.null_count:
+                # A NULL ELEMENT inside a list passes the list-level guard
+                # above, then np.asarray silently turns it into NaN — the
+                # JVM fold this kernel claims bit-parity with yields NULL
+                # for that row instead. Fail fast like the list-level case.
+                raise ValueError(
+                    f"{vec_col} contains {flat_pa.null_count} NULL "
+                    "element(s) inside embeddings; filter or impute them "
+                    "before the cosine kernel"
+                )
+            flat = np.asarray(flat_pa, dtype=np.float64)
             if flat.size != len(vecs) * dim:
                 raise ValueError(
                     f"{vec_col} rows are not uniformly {dim}-dimensional "

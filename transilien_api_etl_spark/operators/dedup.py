@@ -19,7 +19,17 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, subset: list[str], order_by: list[Column]) -> DataFrame:
-    """Keep exactly one row per ``subset`` key: the first under ``order_by``."""
+    """Keep exactly one row per ``subset`` key: the first under ``order_by``.
+
+    Raises if the input already carries the internal rank column —
+    ``withColumn`` would silently overwrite it and ``drop`` would then
+    delete the caller's data (the hazard topk_per_group guards the same
+    way)."""
+    if "__rn" in df.columns:
+        raise ValueError(
+            "exact_dedup: input already has a '__rn' column; rename it "
+            "first (it would be silently overwritten and dropped)"
+        )
     w = Window.partitionBy(*subset).orderBy(*order_by)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

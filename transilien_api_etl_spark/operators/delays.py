@@ -38,6 +38,12 @@ def match_passages(scheduled: DataFrame, observed: DataFrame) -> DataFrame:
     day) the nearest scheduled time wins — ``row_number`` over the absolute
     time gap, deterministic tie-break on ``scheduled_ts``.
     """
+    for side, df_ in (("scheduled", scheduled), ("observed", observed)):
+        if "_rn" in df_.columns:
+            raise ValueError(
+                f"match_passages: {side} already has a '_rn' column; rename "
+                "it first (internal rank column would overwrite it)"
+            )
     joined = observed.join(scheduled, MATCH_KEY, "inner")
     gap = F.abs(F.unix_micros(F.col("expected_ts")) - F.unix_micros(F.col("scheduled_ts")))
     w = Window.partitionBy(*MATCH_KEY, "expected_ts").orderBy(gap.asc(), F.col("scheduled_ts").asc())

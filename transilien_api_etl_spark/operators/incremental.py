@@ -237,19 +237,17 @@ def merge_seen_dedup(
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    # Injective content digest (see operators/dedup.canonical_row_hash):
-    # concat_ws drops NULL columns, so ("a", NULL, "b") and ("a", "b",
-    # NULL) would collide and silently drop a distinct row. Prefix-code
-    # each column ('N' for null, 'V'+sha2(value) otherwise) — the pieces
-    # are self-delimiting, so the concatenation is injective and NULL
-    # grouping matches the one-shot PARTITION BY oracle semantics.
-    pieces = [
-        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
-            F.concat(F.lit("V"), F.sha2(F.col(c).cast("string"), 256))
-        )
-        for c in content_cols
-    ]
-    digest = F.sha2(F.concat(*pieces), 256)
+    # Injective content digest — the ONE shared encoding
+    # (operators/dedup.canonical_row_hash): concat_ws drops NULL columns,
+    # so ("a", NULL, "b") and ("a", "b", NULL) would collide and silently
+    # drop a distinct row. Sharing the helper (not a copy of its body)
+    # means a future fix to the canonical encoding cannot leave this
+    # streaming ledger computing a different digest than the batch path.
+    # NOTE: the digest formula is part of a PERSISTED store's contract —
+    # changing canonical_row_hash invalidates ledgers written before it.
+    from transilien_api_etl_spark.operators.dedup import canonical_row_hash
+
+    digest = canonical_row_hash(content_cols)
     w = Window.partitionBy("_digest").orderBy(order_col)
     fresh = (
         batch_df.withColumn("_digest", digest)

@@ -78,20 +78,28 @@ def sq8_code_expr(mins: list[float], maxs: list[float], col: str = "embedding") 
     otherwise code outside the byte range and silently wrap in a packed
     store. In-range data is untouched, so oracle parity is unaffected."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
+    # Clamp on the DOUBLE, cast after: casting first turned the very
+    # out-of-range values the clamp exists for (and NaN dims) into an
+    # ANSI CAST_OVERFLOW job-kill instead of a clamped byte. Verified on
+    # this build: ±1e14 → 255/0, NaN → 255 (Spark orders NaN above every
+    # double, so greatest(0,NaN)=NaN, least(255,NaN)=255 — saturates, no
+    # abort; the Arrow twin's np.clip propagates NaN instead — both
+    # non-fatal, and the bit-parity contract is for finite inputs).
+    # In-range codes are identical to the pre-fix expression.
     return F.transform(
         F.col(col),
         lambda x, i: F.when(F.get(mx, i) == F.get(mn, i), F.lit(0)).otherwise(
             F.least(
-                F.lit(255),
+                F.lit(255.0),
                 F.greatest(
-                    F.lit(0),
+                    F.lit(0.0),
                     F.round(
                         (x.cast("double") - F.get(mn, i))
                         / (F.get(mx, i) - F.get(mn, i))
                         * 255
-                    ).cast("int"),
+                    ),
                 ),
-            )
+            ).cast("int")
         ),
     )
 

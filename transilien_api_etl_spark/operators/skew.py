@@ -24,7 +24,13 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, id_cols: list[str], n_salt: int) -> DataFrame:
-    """Deterministic salt in [0, n_salt) from a stable hash of ``id_cols``."""
+    """Deterministic salt in [0, n_salt) from a stable hash of ``id_cols``.
+    Raises if the input already carries the salt column (withColumn would
+    silently overwrite the caller's data)."""
+    if SALT_COL in df.columns:
+        raise ValueError(
+            f"with_salt: input already has a '{SALT_COL}' column; rename it first"
+        )
     return df.withColumn(SALT_COL, F.pmod(F.xxhash64(*id_cols), F.lit(n_salt)).cast("int"))
 
 
