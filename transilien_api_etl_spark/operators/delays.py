@@ -75,6 +75,11 @@ def delay_board(scheduled: DataFrame, observed: DataFrame) -> DataFrame:
     (freshest prediction), so the left join stays 1:1 and ``delay_stats``
     counts each scheduled stop once.
     """
+    if "_poll_rn" in observed.columns or "_poll_rn" in scheduled.columns:
+        raise ValueError(
+            "delay_board: input already has a '_poll_rn' column; rename it "
+            "first (internal rank column would overwrite it)"
+        )
     matched = with_delay(match_passages(scheduled, observed))
     w_latest = Window.partitionBy(*MATCH_KEY, "scheduled_ts").orderBy(
         F.col("expected_ts").desc()
