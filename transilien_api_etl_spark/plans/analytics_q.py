@@ -254,10 +254,18 @@ def agg_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     s1a, s2a, s1b, s2b = (F.col(c) for c in ("s1a", "s2a", "s1b", "s2b"))
-    se_a = (s2a - s1a * s1a / n_a) / (n_a - 1) / n_a  # var_a / n_a, in cents²
-    se_b = (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b
-    t = (s1a / n_a - s1b / n_b) / F.sqrt(se_a + se_b)
-    df = F.pow(se_a + se_b, 2) / (F.pow(se_a, 2) / (n_a - 1) + F.pow(se_b, 2) / (n_b - 1))
+    # try_divide on the degenerate-denominator divisions: a one-row arm
+    # (n-1 = 0) or two constant arms (sqrt(0) / 0-df) is an ANSI
+    # DIVIDE_BY_ZERO job-kill under Spark 4's default, where DuckDB's
+    # x/0 yields NULL and the oracle emits a NULL-stat row. Identical
+    # doubles on every non-degenerate input, so the hash is unchanged.
+    se_a = F.try_divide((s2a - s1a * s1a / n_a), (n_a - 1)) / n_a  # var_a/n_a, cents²
+    se_b = F.try_divide((s2b - s1b * s1b / n_b), (n_b - 1)) / n_b
+    t = F.try_divide(s1a / n_a - s1b / n_b, F.sqrt(se_a + se_b))
+    df = F.try_divide(
+        F.pow(se_a + se_b, 2),
+        F.try_divide(F.pow(se_a, 2), n_a - 1) + F.try_divide(F.pow(se_b, 2), n_b - 1),
+    )
     return m.select(
         "n_a",
         "n_b",
@@ -294,7 +302,11 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
     a = F.array_sort(F.collect_list("value").over(w))
     n = F.size(a)
-    med = F.when(
+    # collect_list skips NULLs: a frame of only-NULL values yields an
+    # EMPTY array, and element_at(a, 0) is an ANSI job-kill
+    # (INVALID_INDEX_OF_ZERO) where the oracle's median returns NULL —
+    # guard the degenerate frame to NULL explicitly.
+    med = F.when(n == 0, F.lit(None).cast("double")).when(
         n % 2 == 1, F.element_at(a, ((n + 1) / 2).cast("int"))
     ).otherwise(
         (F.element_at(a, (n / 2).cast("int")) + F.element_at(a, (n / 2 + 1).cast("int"))) / 2

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.functions.text import (
+    LANG_MARKERS,
     STOPWORDS,
     predict_lang,
     rolling_hash_fingerprint,
@@ -140,19 +141,29 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Marker IN-lists generated from the ONE source of truth
+# (functions/text.LANG_MARKERS) — the _STOP_SQL pattern: editing the
+# marker config cannot silently diverge the oracle from predict_lang.
+# The argmax tie-break CASE below must still mirror predict_lang's
+# fixed priority (de > fr > es > en fallback).
+_MARKERS_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in LANG_MARKERS.items()
+}
+
+
 @register(
     "docs_lang_id",
     doc="Language-ID heuristic (SURVEY §3 F9 / BASELINE mandate): stopword-"
     "marker scores per language, deterministic argmax; confusion counts vs "
     "the labeled lang column.",
     tags=("text",),
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT lang,
-         len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
-         len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','nicht')))     AS s_de,
-         len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','ne')))           AS s_fr,
-         len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','no')))           AS s_es
+         len(list_filter(string_split(text,' '), x -> x IN ({_MARKERS_SQL['en']}))) AS s_en,
+         len(list_filter(string_split(text,' '), x -> x IN ({_MARKERS_SQL['de']}))) AS s_de,
+         len(list_filter(string_split(text,' '), x -> x IN ({_MARKERS_SQL['fr']}))) AS s_fr,
+         len(list_filter(string_split(text,' '), x -> x IN ({_MARKERS_SQL['es']}))) AS s_es
   FROM documents
 )
 SELECT lang,
@@ -274,16 +285,27 @@ ORDER BY doc_a, doc_b
 def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     d = load_table(spark, sf_dir, "documents")
+    # tokens materialized once per row — an inline tokenize() would be
+    # re-evaluated 3× per shingle inside shingles()'s lambda (Catalyst
+    # does not hoist subexpressions out of lambda bodies): O(3·len²)
+    # tokenization per doc. Same fix in docs_minhash_candidates.
+    d = d.withColumn("_toks", tokenize(F.col("text")))
     pairs = jaccard_pairs(
         d,
         "doc_id",
-        shingles(tokenize(F.col("text")), 3),
+        shingles(F.col("_toks"), 3),
         min_jaccard=0.05,
         max_df=_JACCARD_MAX_DF,
     )
     return pairs.select(
         "doc_a", "doc_b", "n_shared", F.round(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+# Bucket-size cap shared by the Spark call AND the inlined oracle SQL —
+# the _JACCARD_MAX_DF pattern: one constant, two consumers, so tuning the
+# helper default in operators/dedup.py cannot silently diverge the sides.
+_MINHASH_MAX_BUCKET = 1000
 
 
 def _minhash_oracle_sql(
@@ -339,13 +361,20 @@ GROUP BY 1, 2 ORDER BY id_a, id_b
     "portable permutation hash lets DuckDB rebuild the identical "
     "signatures, bands, bucket-size cap, and candidate pairs.",
     tags=("dedup", "lsh"),
-    oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=1000),
+    oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=_MINHASH_MAX_BUCKET),
 )
 def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", tokenize(F.col("text"))  # once per row; see docs_shingle_jaccard
+    )
     pairs = minhash_signature_pairs(
-        d, "doc_id", shingles(tokenize(F.col("text")), 3), num_hashes=16, band_size=4
+        d,
+        "doc_id",
+        shingles(F.col("_toks"), 3),
+        num_hashes=16,
+        band_size=4,
+        max_bucket_size=_MINHASH_MAX_BUCKET,
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -470,7 +499,19 @@ FROM lbl GROUP BY cluster ORDER BY cluster_id
 )
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    pairs = _REG["docs_shingle_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    # Call the pair operator directly instead of the REGISTERED
+    # docs_shingle_jaccard plan: the registered form ends in a
+    # presentation-only global orderBy + round that this consumer pays
+    # for (one full range-partition Exchange over all pairs) and then
+    # immediately discards — connected_components reshuffles by node id
+    # on its first step.
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", tokenize(F.col("text"))
+    )
+    pairs = jaccard_pairs(
+        d, "doc_id", shingles(F.col("_toks"), 3),
+        min_jaccard=0.05, max_df=_JACCARD_MAX_DF,
+    ).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b")
     return (
         labels.groupBy(F.col("cluster").alias("cluster_id"))
@@ -735,9 +776,16 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     k = _SEG_WORDS
+    # Materialize split(text) ONCE per row: Catalyst does not hoist
+    # subexpressions out of higher-order-function lambda bodies, so an
+    # inline split(text,' ') re-tokenizes the whole document for every
+    # block — O(len²/k) per doc (measured 3.04 s vs 0.35 s at a mere
+    # 5 k tokens × 50 rows). The _words alias is referenced >1× and is
+    # non-cheap, so CollapseProject keeps it a real projection.
+    docs = docs.withColumn("_words", F.split(F.col("text"), " "))
     blocks = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {k}.0) as int) - 1), "
-        f"i -> array_join(slice(split(text, ' '), i * {k} + 1, {k}), ' '))"
+        f"transform(sequence(0, cast(ceil(size(_words) / {k}.0) as int) - 1), "
+        f"i -> array_join(slice(_words, i * {k} + 1, {k}), ' '))"
     )
     blk = docs.select(
         "doc_id", F.posexplode(blocks).alias("block_no", "block_text")
@@ -820,16 +868,17 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    vocab = (
-        freq.withColumn(
-            "token_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("c"), F.col("w")))
-            .cast("int"),
-        )
-        .filter(F.col("token_id") <= _VOCAB_K)
-        .select("w", "token_id")
-    )
+    # TakeOrderedAndProject the top-K FIRST (distributed heap merge),
+    # then number the K survivors: row_number over a partitionless window
+    # would single-partition-sort the ENTIRE distinct-word table just to
+    # discard all but K rows — the total order (desc c, then w) is
+    # unambiguous, so limit-then-number selects and labels the exact same
+    # vocabulary.
+    topk = freq.orderBy(F.desc("c"), F.col("w")).limit(_VOCAB_K)
+    vocab = topk.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.col("w"))).cast("int"),
+    ).select("w", "token_id")
     toks = words.filter(F.col("doc_id") < 100).select(
         "doc_id", F.posexplode("words").alias("pos", "w")
     )
