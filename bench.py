@@ -34,8 +34,10 @@ is the caller's cost, not the plan's).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import statistics
 import sys
 import time
@@ -290,6 +292,15 @@ def main() -> None:
             # full-size wave; beyond that, per-task overhead wins).
             n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             bucket_dir = SCALE_DIR.rstrip("/") + f"_bucketed_v2_{n_buckets}"
+            # Prune stale sibling layouts (the un-suffixed _bucketed_v2
+            # from r5, or other bucket counts after a SPARK_GRAFT_CPUS
+            # change) — each is a multi-GB clustered copy of the facts
+            # that nothing else reads once this layout supersedes it.
+            base = SCALE_DIR.rstrip("/") + "_bucketed_v2"
+            for stale in glob.glob(base + "*"):
+                if os.path.abspath(stale) != os.path.abspath(bucket_dir):
+                    shutil.rmtree(stale, ignore_errors=True)
+                    print(f"# pruned stale bucketed layout {stale}", file=sys.stderr)
             t0 = time.perf_counter()
             for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
                 ensure_bucketed_external(

@@ -114,3 +114,23 @@ def test_null_timestamps_match_banded_semantics(spark):
             left.withColumnRenamed("pid", "_cnt"),
             right, "pts", "cts", -300, 0, ["cents"], ["_cnt"],
         )
+
+
+def test_sum_cols_guard_duplicates_and_clashes(spark):
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0)], "pid long, pts timestamp")
+    right = spark.createDataFrame(
+        [(t0, 3, 4)], "cts timestamp, cents long, _blk long"
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        interval_agg_prefix_sum(
+            left, right, "pts", "cts", -300, 0, ["cents", "cents"], ["pid"]
+        )
+    # a sum_col named like an internal column fails the NAMED guard,
+    # not a later opaque ambiguous-column analysis error
+    with pytest.raises(ValueError, match="sum_cols collide"):
+        interval_agg_prefix_sum(
+            left, right, "pts", "cts", -300, 0, ["_blk"], ["pid"]
+        )

@@ -59,6 +59,7 @@ def cosine_scores_arrow(
     out_col: str = "cos_sim",
     dim_transform=None,
     topk_prefilter: int | None = None,
+    topk_round_dp: int = 8,
 ):
     """Query-vs-corpus cosine as an Arrow-batched numpy kernel.
 
@@ -88,6 +89,13 @@ def cosine_scores_arrow(
     q_arr = np.asarray(qvec, dtype=np.float64)
     qn = float(qnorm)
     dim = len(qvec)
+    # Tie-safety margin for topk_prefilter, derived from the caller's
+    # declared rounding precision: two full quanta at topk_round_dp
+    # guarantees any dropped row's ROUNDED score is strictly below every
+    # kept row's, so no id tie-break can promote it. Callers that round
+    # coarser than the default 8 dp MUST pass their own topk_round_dp —
+    # the margin is enforced here, not by a comment at the call site.
+    tie_margin = 2.0 * 10.0 ** (-topk_round_dp)
 
     def score(batches):
         for batch in batches:
@@ -147,18 +155,16 @@ def cosine_scores_arrow(
                 # Arrow back to the JVM (1 M scored rows → ~k per batch),
                 # where TakeOrderedAndProject still computes the exact
                 # global top-k. The kept set is tie-safe under the
-                # caller's 8-dp JVM rounding: any dropped row sits more
-                # than 2e-8 (two full 8-dp quanta) of raw score below k
-                # surviving rows, so its ROUNDED value is strictly below
-                # theirs and no vec_id tie-break can ever promote it.
-                # Scores themselves are emitted unchanged (selection
-                # only), so the bit-parity contract is untouched. NaN
-                # batches (zero-norm vectors) skip the filter — NaN
-                # ordering is the JVM's call, not this kernel's.
+                # caller's topk_round_dp JVM rounding (see tie_margin
+                # above). Scores themselves are emitted unchanged
+                # (selection only), so the bit-parity contract is
+                # untouched. NaN batches (zero-norm vectors) skip the
+                # filter — NaN ordering is the JVM's call, not this
+                # kernel's.
                 kth = np.partition(cos, len(cos) - topk_prefilter)[
                     len(cos) - topk_prefilter
                 ]
-                keep = cos >= kth - 2e-8
+                keep = cos >= kth - tie_margin
                 vid = vid.filter(pa.array(keep))
                 cos = cos[keep]
             yield pa.RecordBatch.from_arrays(

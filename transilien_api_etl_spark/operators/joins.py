@@ -302,11 +302,21 @@ def interval_agg_prefix_sum(
         | {f"{p}{m}" for m in base for p in ("_cum", "_pri", "_tot")}
         | {f"sum_{c}" for c in sum_cols}
     )
-    clash = reserved & set(left_keys)
-    if clash:
-        raise ValueError(
-            f"left_keys collide with internal/output columns: {sorted(clash)}"
-        )
+    if len(set(sum_cols)) != len(sum_cols):
+        dupes = sorted({c for c in sum_cols if sum_cols.count(c) > 1})
+        raise ValueError(f"sum_cols contains duplicates: {dupes}")
+    # Same guard for sum_cols as for left_keys: a sum_col named so that
+    # _m_<c> (or sum_<c>) collides with another internal/output name
+    # would otherwise surface later as an opaque ambiguous-column error.
+    # _us/_tag never clash via sum_cols directly (they lack the _m_
+    # prefix), but a sum_col literally named one of the reserved tokens
+    # is still caught here before it reaches a select.
+    for label, cols in (("left_keys", left_keys), ("sum_cols", sum_cols)):
+        clash = reserved & set(cols)
+        if clash:
+            raise ValueError(
+                f"{label} collide with internal/output columns: {sorted(clash)}"
+            )
     # NULL timestamps never satisfy the interval predicate in the
     # pair-materializing plan; filtering them here (instead of letting
     # NULL probes and NULL points meet as peers in the NULL sort group)

@@ -132,6 +132,7 @@ def sq8_cosine_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topk_prefilter: int | None = None,
+    topk_round_dp: int = 8,
 ) -> DataFrame:
     """Encode+dequant+cosine as ONE Arrow-batched numpy kernel — the
     vectorized quantized scan. Returns (id_col, cos_q8) with cos_q8
@@ -188,5 +189,6 @@ def sq8_cosine_arrow(
         vec_col=vec_col,
         out_col="cos_q8",
         topk_prefilter=topk_prefilter,
+        topk_round_dp=topk_round_dp,
         dim_transform=dequant,
     )

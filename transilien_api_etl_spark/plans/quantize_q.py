@@ -141,13 +141,13 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays JVM-side (F.round = decimal half-up, matching DuckDB).
     # Map-only into TakeOrderedAndProject; model state 3×64 doubles.
     # topk_prefilter=10: the kernel emits only a tie-safe per-batch
-    # top-10 superset (2e-8 raw-score margin > the 8-dp rounding
-    # quantum), so the global TakeOrdered sees ~k rows per batch
-    # instead of the corpus — the cluster-scale posture; scores that
-    # cross are bit-unchanged.
+    # top-10 superset (margin derived from topk_round_dp=8, matching
+    # the F.round below), so the global TakeOrdered sees ~k rows per
+    # batch instead of the corpus — the cluster-scale posture; scores
+    # that cross are bit-unchanged.
     scored = sq8_cosine_arrow(
         emb.filter(F.col("vec_id") != 0), mins, maxs, qvec, qn,
-        topk_prefilter=10,
+        topk_prefilter=10, topk_round_dp=8,
     )
     return (
         scored.select("vec_id", F.round("cos_q8", 8).alias("cos_q8"))

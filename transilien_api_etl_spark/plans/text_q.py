@@ -37,6 +37,17 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 # k docs makes k² inverted-index join rows, so the cap bounds per-shingle
 # fan-out regardless of corpus size. Mirrored verbatim in the oracle SQL.
 _JACCARD_MAX_DF = 1000
+# Shingle size and pair threshold shared by docs_shingle_jaccard, its
+# oracle SQL, AND docs_dup_clusters (whose oracle is built on the same
+# pair SQL): one constant, three consumers — tuning either knob cannot
+# silently diverge the clusters plan from its own oracle.
+_JACCARD_SHINGLE_N = 3
+_JACCARD_MIN_SIM = 0.05
+# The oracle's shingle concat, derived from the same constant:
+# s[i] || ' ' || s[i+1] || ... (DuckDB lists are 1-based).
+_JACCARD_SH_CONCAT = " || ' ' || ".join(
+    f"s[i+{j}]" for j in range(_JACCARD_SHINGLE_N)
+)
 
 
 @register(
@@ -258,8 +269,8 @@ WITH tok AS (
 ), sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-           generate_series(1, greatest(len(s) - 2, 0)),
-           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))) AS sh
+           generate_series(1, greatest(len(s) - {_JACCARD_SHINGLE_N - 1}, 0)),
+           i -> {_JACCARD_SH_CONCAT}))) AS sh
   FROM tok
 ), sh AS (
   SELECT doc_id, sh FROM (
@@ -278,7 +289,7 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {_JACCARD_MIN_SIM}
 ORDER BY doc_a, doc_b
 """,
 )
@@ -293,8 +304,8 @@ def docs_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(
         d,
         "doc_id",
-        shingles(F.col("_toks"), 3),
-        min_jaccard=0.05,
+        shingles(F.col("_toks"), _JACCARD_SHINGLE_N),
+        min_jaccard=_JACCARD_MIN_SIM,
         max_df=_JACCARD_MAX_DF,
     )
     return pairs.select(
@@ -509,8 +520,8 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_toks", tokenize(F.col("text"))
     )
     pairs = jaccard_pairs(
-        d, "doc_id", shingles(F.col("_toks"), 3),
-        min_jaccard=0.05, max_df=_JACCARD_MAX_DF,
+        d, "doc_id", shingles(F.col("_toks"), _JACCARD_SHINGLE_N),
+        min_jaccard=_JACCARD_MIN_SIM, max_df=_JACCARD_MAX_DF,
     ).select("doc_a", "doc_b")
     labels = connected_components(pairs, "doc_a", "doc_b")
     return (

@@ -93,7 +93,8 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         qn += x * x
     qn = qn ** 0.5
     scored = cosine_scores_arrow(
-        emb.filter(F.col("vec_id") != 0), qvec, qn, topk_prefilter=10
+        emb.filter(F.col("vec_id") != 0), qvec, qn,
+        topk_prefilter=10, topk_round_dp=8,  # matches the F.round below
     )
     return (
         scored.select("vec_id", F.round("cos_sim", 8).alias("cos_sim"))

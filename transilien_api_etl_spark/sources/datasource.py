@@ -197,4 +197,37 @@ class TransilienXmlDataSource(DataSource):
 
 
 def register_datasource(spark) -> None:
+    # Make the package importable in EVERY worker that unpickles this
+    # class, regardless of the launch cwd (VERDICT r6 task 5):
+    #
+    # 1. ship_package BEFORE registering — pyspark's register() captures
+    #    sc._python_includes at register time into the wrapped
+    #    PythonFunction, and the batch planner workers
+    #    (PythonPlannerRunner) prepend those includes to sys.path.
+    # 2. PYTHONPATH via sc.environment — the STREAMING source runner
+    #    (PythonStreamingSourceRunner.init) resolves its includes under
+    #    <SparkFilesRoot>/streaming_job/ (it hardcodes the
+    #    "streaming_job" artifact UUID), where addPyFile never copies,
+    #    so includes alone leave the stream-reader worker unable to
+    #    import us. envVars ARE honored: PythonWorkerFactory merges
+    #    envVars["PYTHONPATH"] into the spawned worker's path, and
+    #    sc.environment is captured into the PythonFunction's envVars
+    #    at register time. The streaming runner always executes on the
+    #    driver, so this driver-local path (package parent dir — a
+    #    plain dir or the deployed --py-files zip, both valid sys.path
+    #    entries) is correct in cluster mode too; on executors the
+    #    stale path is simply skipped and the shipped zip (1) applies.
+    import os
+    import pathlib
+
+    from transilien_api_etl_spark.session import ship_package
+
+    ship_package(spark)
+    pkg_root = str(pathlib.Path(__file__).resolve().parent.parent.parent)
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH")
+    if not cur:
+        env["PYTHONPATH"] = pkg_root
+    elif pkg_root not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = pkg_root + os.pathsep + cur
     spark.dataSource.register(TransilienXmlDataSource)
