@@ -176,7 +176,8 @@ def time_duckdb(
         if skipped is not None and remaining() <= 30:
             skipped.append(f"duckdb:{name}")
             continue
-        per_query_cap = max(10.0, min(150.0, remaining() - 15))
+        default_cap = REGISTRY[name].oracle_cap_s or 150.0
+        per_query_cap = max(10.0, min(default_cap, remaining() - 15))
         warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
         if warm_s is None:
             # Record the cap as a LOWER BOUND on DuckDB's time (flagged
@@ -249,20 +250,12 @@ def main() -> None:
         )
         warm.fn(spark, SCALE_DIR).count()
         spark_t, spark_reps = time_spark(specs, spark, SCALE_DIR, skipped=skipped)
-        duck_t, duck_reps = time_duckdb(specs, SCALE_DIR, skipped=skipped)
-        ratio = {
-            q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
-        }
         result["scale"] = {
             "factors": DEFAULT_FACTORS,
             "rows": rows,
             "stat": "median_of_warm_reps",
             "spark": spark_t,
-            "duckdb": duck_t,
             "spark_reps": spark_reps,
-            "duckdb_reps": duck_reps,
-            "ratio": ratio,
-            "ratio_median": round(statistics.median(ratio.values()), 3) if ratio else None,
         }
         # Phase 2c — bucketed-at-rest facts (DEPLOY.md's prescribed 100 TB
         # layout, promoted from scripts/bucketed_facts_ab.py per VERDICT r4):
@@ -272,6 +265,13 @@ def main() -> None:
         # functions then run with the fact⋈fact exchange deleted. The
         # one-time clustered write is cached next to the scale cache and
         # kept OUT of the timed section.
+        #
+        # Phase ORDER (round 7): all Spark timings land BEFORE the DuckDB
+        # oracle pass. The oracle pass is the budget sink (watchdog caps of
+        # 60–150 s per asymptotically-different oracle), so if the budget
+        # dies mid-run the loss is trailing oracle ratios — never the
+        # graded bucketed q3/q5 rows or a Spark measurement.
+        bspark_t: dict[str, float] = {}
         if remaining() > 120:
             from transilien_api_etl_spark.io import (
                 BUCKETED_DIR_CONF,
@@ -351,14 +351,25 @@ def main() -> None:
             result["scale"]["bucketed"] = {
                 "spark": bspark_t,
                 "spark_reps": bspark_reps,
-                "ratio": {
-                    q: round(bspark_t[q] / duck_t[q], 3)
-                    for q in bspark_t
-                    if q in duck_t
-                },
             }
         else:
             skipped.append("bucketed-phase:budget")
+        duck_t, duck_reps = time_duckdb(specs, SCALE_DIR, skipped=skipped)
+        ratio = {
+            q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
+        }
+        result["scale"]["duckdb"] = duck_t
+        result["scale"]["duckdb_reps"] = duck_reps
+        result["scale"]["ratio"] = ratio
+        result["scale"]["ratio_median"] = (
+            round(statistics.median(ratio.values()), 3) if ratio else None
+        )
+        if bspark_t:
+            result["scale"]["bucketed"]["ratio"] = {
+                q: round(bspark_t[q] / duck_t[q], 3)
+                for q in bspark_t
+                if q in duck_t
+            }
         if skipped:
             result["scale"]["skipped"] = skipped
     elif RUN_SCALE:

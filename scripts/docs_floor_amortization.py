@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Amortization probe for the two floor-dominated weak bench rows
+(VERDICT r6 task 2): `docs_word_freq_top20` and `docs_token_stats`.
+
+Both are sub-0.7 s absolute at the 1 M-doc bench scale, where BASELINE.md's
+measured ~0.14 s Spark per-query constant (DAG scheduling + task launch +
+codegen compile) is a third to two thirds of the whole wall time — the >2×
+ratios there are the floor, not the plan. This probe times the SAME
+registered plans and the SAME DuckDB oracles at 4× documents (4 M rows,
+documents-only cache) where the constant is proportionally4× smaller: if
+the floor explanation is right, the ratios must fall toward the
+floor-adjusted ~1.5 / ~0.5 estimates; if a ratio HOLDS at 4× the gap is
+real plan cost and needs investigation instead of adjudication.
+
+Usage: python scripts/docs_floor_amortization.py   (one JSON line;
+one-time ~1 min materialization, then ~2 min of timing.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
+
+from transilien_api_etl_spark import plans  # noqa: E402,F401
+from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
+from transilien_api_etl_spark.scale import (  # noqa: E402
+    materialize_scale,
+    scale_dir_name,
+)
+from transilien_api_etl_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = ("docs_word_freq_top20", "docs_token_stats")
+X1 = {"lineitem": 100, "orders": 100, "events": 100,
+      "documents": 200, "embeddings": 500}  # the bench cache (1 M docs)
+X4 = {"documents": 800}  # 4 M docs, documents-only (bounds disk)
+
+
+def spark_medians(spark, data_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        REGISTRY[name].fn(spark, data_dir).count()  # untimed warm rep
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, data_dir).count()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(reps), 4)
+        print(f"# spark {os.path.basename(data_dir)} {name}: "
+              f"{out[name]:.3f}s of {[round(r, 3) for r in reps]}",
+              file=sys.stderr)
+    return out
+
+
+def duck_medians(data_dir: str) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    p = os.path.join(data_dir, "documents.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        sql = REGISTRY[name].oracle
+        con.execute(sql).fetchall()  # untimed warm rep
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(reps), 4)
+        print(f"# duckdb {os.path.basename(data_dir)} {name}: "
+              f"{out[name]:.3f}s of {[round(r, 3) for r in reps]}",
+              file=sys.stderr)
+    con.close()
+    return out
+
+
+def main() -> None:
+    spark = build_session(app_name="docs-floor-amortization")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d1 = os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X1))
+    d4 = os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X4))
+    rows1 = materialize_scale(spark, SF_DIR, d1, X1)
+    rows4 = materialize_scale(spark, SF_DIR, d4, X4)
+    print(f"# caches: 1x={rows1.get('documents')} docs, "
+          f"4x={rows4.get('documents')} docs", file=sys.stderr)
+
+    s1, s4 = spark_medians(spark, d1), spark_medians(spark, d4)
+    k1, k4 = duck_medians(d1), duck_medians(d4)
+    print(json.dumps({
+        "metric": "docs_floor_amortization",
+        "docs_1x": rows1.get("documents"),
+        "docs_4x": rows4.get("documents"),
+        "spark_1x": s1, "spark_4x": s4,
+        "duckdb_1x": k1, "duckdb_4x": k4,
+        "ratio_1x": {q: round(s1[q] / k1[q], 3) for q in QUERIES},
+        "ratio_4x": {q: round(s4[q] / k4[q], 3) for q in QUERIES},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

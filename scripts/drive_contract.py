@@ -1,7 +1,13 @@
 """Drive the repo's driver contract end-to-end, as the harness would:
 import __spark_entry__ from a foreign cwd, smoke entry(), then run every
-queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB."""
-import hashlib, os, sys, time
+queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB.
+
+SPARK_GRAFT_CONTRACT_SF overrides the data dir (e.g. sf0.1 for the
+committed per-round parity artifact — VERDICT r6 task 3);
+SPARK_GRAFT_CONTRACT_OUT, if set, additionally writes the per-query
+results as driver-format JSON ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}})."""
+import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ent
 import duckdb
@@ -35,17 +41,32 @@ if only:
     assert not unknown, f"unknown query names: {sorted(unknown)}"
     qs = {k: v for k, v in qs.items() if k in only}
 ok = bad = 0
+report = {}
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     try:
         spdf = fn(spark, SF).toPandas()
     except Exception as e:  # the real driver records ERR and moves on
         print(f"  ERR {name}: {type(e).__name__}: {str(e)[:140]} [{time.time()-t0:.1f}s]")
+        report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                        "spark_rows": None, "oracle_rows": None,
+                        "err": f"{type(e).__name__}: {str(e)[:200]}"}
         bad += 1
         continue
     if name not in os_:
-        print(f"  rows-only {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]"); ok += 1; continue
-    dpdf = con.execute(os_[name]).df()
+        print(f"  rows-only {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+        report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                        "spark_rows": len(spdf), "oracle_rows": None, "err": None}
+        ok += 1; continue
+    try:
+        dpdf = con.execute(os_[name]).df()
+    except Exception as e:
+        print(f"  ORACLE-ERR {name}: {type(e).__name__}: {str(e)[:140]} [{time.time()-t0:.1f}s]")
+        report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                        "spark_rows": len(spdf), "oracle_rows": None,
+                        "err": f"oracle: {type(e).__name__}: {str(e)[:200]}"}
+        bad += 1
+        continue
     # normalize timestamps to isoformat strings for hashing
     import pandas as pd
     for p in (spdf, dpdf):
@@ -55,6 +76,13 @@ for name, fn in sorted(qs.items()):
     m = (len(spdf)==len(dpdf), sorted(spdf.columns)==sorted(dpdf.columns), vhash(spdf)==vhash(dpdf))
     status = "MATCH" if all(m) else f"MISMATCH {m}"
     print(f"  {status} {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+    report[name] = {"rows_match": m[0], "schema_match": m[1], "hash_match": m[2],
+                    "spark_rows": len(spdf), "oracle_rows": len(dpdf), "err": None}
     ok += all(m); bad += not all(m)
+out_path = os.environ.get("SPARK_GRAFT_CONTRACT_OUT")
+if out_path:
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"# wrote {out_path}")
 print(f"RESULT: {ok} ok, {bad} mismatched")
 sys.exit(1 if bad else 0)

@@ -49,6 +49,40 @@ def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
 def array_mean(a: Column) -> Column:
     return dot(a, F.transform(a, lambda _: F.lit(1.0))) / F.size(a)
 
+
+def flatten_checked(vecs, dim: int, vec_col: str):
+    """Flatten an Arrow list column to a dense float64 (n, dim) matrix,
+    failing fast on NULL / ragged rows.
+
+    ``ListArray.flatten()`` silently SKIPS null lists, so one NULL row
+    would shift every later row's values (scores attributed to the wrong
+    ids) and surface only as an unrelated-looking Arrow length error; a
+    NULL element inside a list becomes a silent NaN; a wrong-dim row
+    desyncs the reshape. Every Arrow vector kernel (the cosine scan, the
+    k-means assignment, the SemDeDup prune) shares this one guard so the
+    failure modes stay uniformly fail-fast."""
+    import numpy as np
+
+    if vecs.null_count:
+        raise ValueError(
+            f"{vec_col} contains {vecs.null_count} NULL embedding(s); "
+            "filter them out before the cosine kernel"
+        )
+    flat_pa = vecs.flatten()
+    if flat_pa.null_count:
+        raise ValueError(
+            f"{vec_col} contains {flat_pa.null_count} NULL "
+            "element(s) inside embeddings; filter or impute them "
+            "before the cosine kernel"
+        )
+    flat = np.asarray(flat_pa, dtype=np.float64)
+    if flat.size != len(vecs) * dim:
+        raise ValueError(
+            f"{vec_col} rows are not uniformly {dim}-dimensional "
+            f"({flat.size} values for {len(vecs)} rows)"
+        )
+    return flat.reshape(-1, dim)
+
 def cosine_scores_arrow(
     df,
     qvec: list[float],
@@ -101,40 +135,14 @@ def cosine_scores_arrow(
         for batch in batches:
             vid = batch.column(0)
             vecs = batch.column(1)
-            # Fail fast on NULL / ragged embeddings: ListArray.flatten()
-            # silently SKIPS null lists, so one NULL row would shift every
-            # later row's values (scores attributed to the wrong ids) and
-            # surface only as an unrelated-looking Arrow length error. A
-            # wrong-dim row would likewise desync the reshape.
-            if vecs.null_count:
-                raise ValueError(
-                    f"{vec_col} contains {vecs.null_count} NULL embedding(s); "
-                    "filter them out before the cosine kernel"
-                )
-            flat_pa = vecs.flatten()
-            if flat_pa.null_count:
-                # A NULL ELEMENT inside a list passes the list-level guard
-                # above, then np.asarray silently turns it into NaN — the
-                # JVM fold this kernel claims bit-parity with yields NULL
-                # for that row instead. Fail fast like the list-level case.
-                raise ValueError(
-                    f"{vec_col} contains {flat_pa.null_count} NULL "
-                    "element(s) inside embeddings; filter or impute them "
-                    "before the cosine kernel"
-                )
-            flat = np.asarray(flat_pa, dtype=np.float64)
-            if flat.size != len(vecs) * dim:
-                raise ValueError(
-                    f"{vec_col} rows are not uniformly {dim}-dimensional "
-                    f"({flat.size} values for {len(vecs)} rows)"
-                )
+            flat = flatten_checked(vecs, dim, vec_col)
             # One contiguous transpose up front: the per-dim accumulation
             # below then reads cache-line-friendly rows instead of
             # 512-byte-strided columns — measured 1.8× per batch at
             # 31 k×64, with the SAME values in the SAME order, so the
             # bit-parity contract is untouched (gated by
             # tests/test_arrow_kernel_parity.py).
-            flat = np.ascontiguousarray(flat.reshape(-1, dim).T)
+            flat = np.ascontiguousarray(flat.T)
             dot_acc = None
             dd_acc = None
             for d in range(dim):

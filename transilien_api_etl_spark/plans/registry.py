@@ -34,6 +34,13 @@ class QuerySpec:
     # These refuse to run above a row-count guard unless explicitly
     # overridden — they exist to validate, not to be the production path.
     oracle_twin: bool = False
+    # bench-phase-2 watchdog cap (seconds) for this query's DuckDB oracle,
+    # overriding the default 150 s. Set LOW for oracles that are known
+    # asymptotically different from the Spark plan at bench scale (e.g. the
+    # unrolled-CTE kmeans chains, the quadratic NOT EXISTS prune): a
+    # timeout at 60 s certifies ">= cap" just as well as one at 150 s and
+    # returns 90 s of budget to queries that CAN be measured.
+    oracle_cap_s: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -47,6 +54,7 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     oracle_twin: bool = False,
+    oracle_cap_s: float | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation under ``name``."""
 
@@ -61,6 +69,7 @@ def register(
             tags=tags,
             bench=bench,
             oracle_twin=oracle_twin,
+            oracle_cap_s=oracle_cap_s,
         )
         return fn
 

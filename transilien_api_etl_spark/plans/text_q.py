@@ -323,22 +323,27 @@ def _minhash_oracle_sql(
     *, num_hashes: int, band_size: int, max_bucket_size: int
 ) -> str:
     """DuckDB twin of operators/dedup.minhash_signature_pairs over the
-    3-shingle tokens: identical seeded-md5 minima, identical comma-joined
-    band buckets, identical bucket-size cap, identical pair aggregation."""
+    3-shingle tokens: identical seeded-md5 minima, identical BIGINT slot-
+    tuple band buckets (round 7 — was a comma-joined string; same key
+    equality ⇒ same pairs, but integer keys are what both engines should
+    hash at 10⁸-pair scale), identical bucket-size cap, identical pair
+    aggregation."""
     n_bands = num_hashes // band_size
     sig_cols = ", ".join(
         "min(CAST(('0x' || substr(md5('" + f"{s}:" + "' || sh), 1, 15)) AS BIGINT))"
         f" AS h{s}"
         for s in range(num_hashes)
     )
+    slot_list = ", ".join(f"s{i}" for i in range(band_size))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || ',' || ".join(
-            f"CAST(h{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        + ", ".join(
+            f"h{b * band_size + i} AS s{i}" for i in range(band_size)
         )
-        + " AS bucket FROM sigs"
+        + " FROM sigs"
         for b in range(n_bands)
     )
+    slot_eq = " AND ".join(f"a.s{i} = b.s{i}" for i in range(band_size))
     return f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS s FROM documents
@@ -352,14 +357,14 @@ WITH tok AS (
   SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
 ), banded AS ({band_selects}
 ), capped AS (
-  SELECT doc_id, band, bucket FROM (
-    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+  SELECT doc_id, band, {slot_list} FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, {slot_list}) AS bsz FROM banded
   ) WHERE bsz <= {max_bucket_size}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared_bands
 FROM capped a
-JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+JOIN capped b ON a.band = b.band AND {slot_eq} AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY id_a, id_b
 """
 
