@@ -372,10 +372,26 @@ def main() -> None:
             }
         if skipped:
             result["scale"]["skipped"] = skipped
+        # Compact grade block, LAST in the JSON on purpose: the driver's
+        # bench artifact keeps only the tail of stdout (BENCH_r06.json:
+        # 2000-char `tail`, `parsed: null`), so every graded number must
+        # live within the final ~2000 chars. Absolute DuckDB times are
+        # recoverable as spark/ratio; the full detail (reps sidecars)
+        # rides in BENCH_FULL_last.json next to this script.
+        result["grade"] = {
+            "spark": {q: round(v, 3) for q, v in spark_t.items()},
+            "ratio": ratio,
+            "ratio_median": result["scale"]["ratio_median"],
+            "bucketed_spark": {q: round(v, 3) for q, v in bspark_t.items()},
+            "bucketed_ratio": result["scale"].get("bucketed", {}).get("ratio", {}),
+            "skipped": skipped,
+        }
     elif RUN_SCALE:
         result["scale_skipped"] = "budget exhausted before scale phase"
     result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
 
+    with open(os.path.join(REPO_DIR, "BENCH_FULL_last.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
     spark.stop()
 

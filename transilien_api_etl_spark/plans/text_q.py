@@ -375,9 +375,14 @@ GROUP BY 1, 2 ORDER BY id_a, id_b
     "minima → 4 bands of 4 → band-bucket self-join. Pure built-ins, no "
     "UDF, no quadratic pair scan. HASH-CHECKED since round 3: the "
     "portable permutation hash lets DuckDB rebuild the identical "
-    "signatures, bands, bucket-size cap, and candidate pairs.",
+    "signatures, bands, bucket-size cap, and candidate pairs. bench: the "
+    "scale cache's 200-replica doc groups are near-dups by construction, "
+    "so the 1 M-doc candidate set is ~1.1e8 pairs — the boilerplate-"
+    "cluster shape max_bucket_size exists to bound (BASELINE.md round-7).",
     tags=("dedup", "lsh"),
     oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=_MINHASH_MAX_BUCKET),
+    bench=True,
+    oracle_cap_s=60.0,
 )
 def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
