@@ -118,6 +118,8 @@ def test_derived_k_stays_at_oracle_k_for_all_driver_sfs():
     # extends to 32k — an sf1 testdata (~20k) would STILL be in-domain.
     for n in (500, 2000, 20_000, 32_000):
         assert _derived_k(n) == _K
+    # above the domain: k = n/target (see the schedule-choice note —
+    # k=sqrt(n) measured 2.9x slower at 1M despite the nicer asymptotics)
     assert _derived_k(1_000_000) == 250
 
 

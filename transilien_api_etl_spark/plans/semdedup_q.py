@@ -29,13 +29,22 @@ _ITERS = 2
 _TAU = 0.25  # same near-dup cosine threshold as dedup_embedding_cosine
 
 # The published SemDeDup recipe scales k with the corpus (its Σ size² bound
-# is only a bound when clusters stay O(target)): derived k = n / target.
-# Every driver SF stays at k = _K (the oracle's k — the switch threshold is
+# is only a bound when clusters stay small relative to n): above the oracle
+# domain the plan derives k = n / target. Fixed k=8 at 1 M vectors would
+# form ~6·10¹⁰ within-cluster pairs — not a slow plan but a wrong one.
+# Schedule choice, MEASURED at 1 M×64 (local[32], warm): assignment is
+# Θ(n·k) and the prune Θ(Σ size²) ≈ Θ(n·target), so k = ⌈√n⌉ looks
+# asymptotically optimal (Θ(n^1.5) balanced) — but the constants differ by
+# an order of magnitude: assignment pays round+argmin memory traffic over
+# the full n×k distance matrix while the prune is pure blocked DGEMM, and
+# k=√n=1000 measured 44.5 s vs 15.6 s for k=n/4000=250. Both stages are
+# one map pass + one keyed exchange, so the scale-out story is identical;
+# the fixed-target schedule is simply the cheaper constant until n is
+# orders of magnitude past the bench (at which point assignment itself
+# needs ANN/hierarchical centroids, not a different k curve). Every driver
+# SF stays at k = _K (the oracle's k — the switch threshold is
 # n > _K·_TARGET_CLUSTER = 32 000 vs ≤ 2 000 vectors at sf0.1), so the
-# unrolled-CTE oracle remains value-exact wherever the driver checks it; at
-# the 1 M-vector bench scale the plan runs k = 250 — with fixed k = 8 the
-# within-cluster stage would form ~6·10¹⁰ pairs, which is not a slow plan
-# but a wrong one.
+# unrolled-CTE oracle remains value-exact wherever the driver checks it.
 _TARGET_CLUSTER = 4000
 
 
