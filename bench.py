@@ -89,14 +89,23 @@ def sf_from_dir(path: str) -> float:
 SLOW_QUERY_CUTOFF_S = 5.0
 
 
-def _median_reps(run, warm_s, n_reps=3) -> tuple[float, list[float]]:
+def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[float]]:
     """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
-    slow cutoff). Raw reps are returned for the JSON sidecar so a graded
-    number can always be audited against its spread. Reps stop early when
-    the remaining budget could not absorb another rep of this query's
-    observed cost — a median of fewer warm reps beats a harness kill that
-    loses the whole JSON line."""
-    n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else n_reps
+    slow cutoff — unless force_reps). Raw reps are returned for the JSON
+    sidecar so a graded number can always be audited against its spread.
+    Reps stop early when the remaining budget could not absorb another rep
+    of this query's observed cost — a median of fewer warm reps beats a
+    harness kill that loses the whole JSON line.
+
+    force_reps exists for the bucketed phase: its queries are ~1 s warm
+    but the WARM-UP rep can exceed the slow cutoff when other jobs have
+    evicted the bucketed files from the page cache (observed round 7:
+    warm 5+ s → only 2 timed reps → the suite's most bar-sensitive
+    median decided by 2 samples). The cutoff protects against
+    multi-second QUERIES, not cold caches, so the caller that knows its
+    queries are sub-second keeps its full rep count."""
+    if not force_reps:
+        n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else n_reps
     raw = []
     for _ in range(n_reps):
         if raw and remaining() < max(raw) + 30:
@@ -108,7 +117,8 @@ def _median_reps(run, warm_s, n_reps=3) -> tuple[float, list[float]]:
 
 
 def time_spark(
-    specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3
+    specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3,
+    force_reps=False,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
@@ -122,7 +132,8 @@ def time_spark(
         n = specs[name].fn(spark, data_dir).count()
         warm_s = time.perf_counter() - t0
         timings[name], raw_reps[name] = _median_reps(
-            lambda: specs[name].fn(spark, data_dir).count(), warm_s, n_reps
+            lambda: specs[name].fn(spark, data_dir).count(), warm_s, n_reps,
+            force_reps=force_reps,
         )
         print(
             f"# {name}: {timings[name]:.3f}s median of {raw_reps[name]}"
@@ -340,6 +351,7 @@ def main() -> None:
                     skipped=skipped,
                     skip_label="spark-bucketed",
                     n_reps=5,
+                    force_reps=True,
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
