@@ -30,6 +30,7 @@ sys.path.insert(0, REPO_DIR)
 from transilien_api_etl_spark import plans  # noqa: E402,F401
 from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
 from transilien_api_etl_spark.scale import (  # noqa: E402
+    DEFAULT_FACTORS,
     materialize_scale,
     scale_dir_name,
 )
@@ -37,8 +38,9 @@ from transilien_api_etl_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ("docs_word_freq_top20", "docs_token_stats")
-X1 = {"lineitem": 100, "orders": 100, "events": 100,
-      "documents": 200, "embeddings": 500}  # the bench cache (1 M docs)
+# Imported, not copied: if the graded bench's factors are retuned, the 1×
+# baseline must follow or the probe stops being comparable to BENCH rows.
+X1 = DEFAULT_FACTORS
 X4 = {"documents": 800}  # 4 M docs, documents-only (bounds disk)
 
 

@@ -39,6 +39,7 @@ sys.path.insert(0, REPO_DIR)
 from transilien_api_etl_spark import plans  # noqa: E402,F401
 from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
 from transilien_api_etl_spark.scale import (  # noqa: E402
+    DEFAULT_FACTORS,
     materialize_scale,
     scale_dir_name,
 )
@@ -52,8 +53,9 @@ QUERIES = (
     "knn_pq_adc_top10",
     "semdedup_survivors",
 )
-X1 = {"lineitem": 100, "orders": 100, "events": 100,
-      "documents": 200, "embeddings": 500}  # the bench cache
+# Imported, not copied: if the graded bench's factors are retuned, the 1×
+# baseline must follow or the probe stops being comparable to BENCH rows.
+X1 = DEFAULT_FACTORS
 X2 = {"documents": 400, "embeddings": 1000}  # 2 M docs / 2 M vectors
 
 

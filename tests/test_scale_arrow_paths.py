@@ -22,7 +22,7 @@ from transilien_api_etl_spark.operators.pq import (
     pq_train,
     pq_train_sample_mod,
 )
-from transilien_api_etl_spark.operators.semdedup import within_cluster_dup_ids
+from transilien_api_etl_spark.operators.semdedup import within_cluster_survivors
 
 SF = "/root/testdata/sf0.001"
 
@@ -59,7 +59,10 @@ def test_semdedup_arrow_prune_matches_jvm_join(spark):
 
     km, k = _kmeans_df(spark, SF)
     assert k == 8  # sf0.001 must stay in the oracle's k domain
-    arrow_dups = {r["vec_id"] for r in within_cluster_dup_ids(km, _TAU).collect()}
+    arrow_surv = {
+        (r["vec_id"], r["cluster"])
+        for r in within_cluster_survivors(km, _TAU).collect()
+    }
 
     kmn = km.withColumn("nrm", l2_norm(F.col("v")))
     a, b = kmn.alias("a"), kmn.alias("b")
@@ -67,9 +70,8 @@ def test_semdedup_arrow_prune_matches_jvm_join(spark):
         cosine_from_norms(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")),
         6,
     )
-    jvm_dups = {
-        r["vec_id"]
-        for r in a.join(
+    jvm_dups = (
+        a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
@@ -77,9 +79,14 @@ def test_semdedup_arrow_prune_matches_jvm_join(spark):
         .filter(cos >= F.lit(_TAU))
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
+    )
+    jvm_surv = {
+        (r["vec_id"], r["cluster"])
+        for r in km.join(jvm_dups, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
         .collect()
     }
-    assert arrow_dups == jvm_dups
+    assert arrow_surv == jvm_surv
 
 
 def test_pq_arrow_codes_match_jvm(spark):
@@ -128,5 +135,44 @@ def test_semdedup_prune_handles_trivial_and_skewed_groups(spark):
     # never drops; in the dup cluster everyone but the smallest id drops.
     rows = [(1, [1.0, 0.0], 0)] + [(10 + i, [0.0, 2.0], 1) for i in range(5)]
     km = spark.createDataFrame(rows, "vec_id long, v array<double>, cluster int")
-    dups = {r["vec_id"] for r in within_cluster_dup_ids(km, 0.9).collect()}
-    assert dups == {11, 12, 13, 14}
+    surv = {r["vec_id"] for r in within_cluster_survivors(km, 0.9).collect()}
+    assert surv == {1, 10}
+
+
+def test_semdedup_prune_nan_cosine_counts_as_dup(spark):
+    """NaN-poisoned vectors yield NaN cosines; Spark and DuckDB both
+    compare NaN ABOVE every value, so the JVM filter cos >= tau drops
+    them — the Arrow kernel must agree (round-7 review finding). The
+    zero-norm sibling case is NOT JVM-comparable: 0/0 raises
+    DIVIDE_BY_ZERO under ANSI instead of producing NaN, and the kernel
+    deliberately degrades (drops the row) rather than job-kills — see
+    the kernel docstring."""
+    from pyspark.sql import functions as F
+
+    nan = float("nan")
+    rows = [(1, [1.0, 0.0], 0), (2, [nan, 1.0], 0), (3, [nan, 2.0], 0)]
+    km = spark.createDataFrame(rows, "vec_id long, v array<double>, cluster int")
+    surv = {r["vec_id"] for r in within_cluster_survivors(km, 0.9).collect()}
+    # JVM reference on the same frame
+    from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    kmn = km.withColumn("nrm", l2_norm(F.col("v")))
+    a, b = kmn.alias("a"), kmn.alias("b")
+    cos = F.round(
+        cosine_from_norms(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")),
+        6,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= F.lit(0.9))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    jvm_surv = {
+        r["vec_id"] for r in km.join(dups, "vec_id", "left_anti").collect()
+    }
+    assert surv == jvm_surv == {1}

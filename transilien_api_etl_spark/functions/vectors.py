@@ -50,6 +50,23 @@ def array_mean(a: Column) -> Column:
     return dot(a, F.transform(a, lambda _: F.lit(1.0))) / F.size(a)
 
 
+def round_half_up(arr, dp: int):
+    """numpy rounding with the JVM's tie behavior.
+
+    ``np.round`` rounds half-to-EVEN; Spark's ``F.round`` (BigDecimal
+    HALF_UP) and DuckDB's ``round`` round halves AWAY FROM ZERO. The Arrow
+    kernels claim "same rounding, different summation order" vs their JVM
+    twins, so they must not silently disagree on every odd 6-dp midpoint.
+    Residual caveat: the scale-multiply ``|x|·10^dp`` itself rounds once
+    in float64, so a value within 1 ULP of a midpoint can still differ
+    from BigDecimal's decimal-string view — measure-zero in practice and
+    strictly closer to the JVM than half-even."""
+    import numpy as np
+
+    scale = 10.0**dp
+    return np.copysign(np.floor(np.abs(arr) * scale + 0.5), arr) / scale
+
+
 def flatten_checked(vecs, dim: int, vec_col: str):
     """Flatten an Arrow list column to a dense float64 (n, dim) matrix,
     failing fast on NULL / ragged rows.

@@ -302,9 +302,10 @@ def interval_agg_prefix_sum(
         | {f"{p}{m}" for m in base for p in ("_cum", "_pri", "_tot")}
         | {f"sum_{c}" for c in sum_cols}
     )
-    if len(set(sum_cols)) != len(sum_cols):
-        dupes = sorted({c for c in sum_cols if sum_cols.count(c) > 1})
-        raise ValueError(f"sum_cols contains duplicates: {dupes}")
+    for label, cols in (("left_keys", left_keys), ("sum_cols", sum_cols)):
+        if len(set(cols)) != len(cols):
+            dupes = sorted({c for c in cols if cols.count(c) > 1})
+            raise ValueError(f"{label} contains duplicates: {dupes}")
     # Same guard for sum_cols as for left_keys: a sum_col named so that
     # _m_<c> (or sum_<c>) collides with another internal/output name
     # would otherwise surface later as an opaque ambiguous-column error.

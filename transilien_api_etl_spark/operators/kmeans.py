@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.functions.vectors import dot, flatten_checked
+from transilien_api_etl_spark.functions.vectors import (
+    dot,
+    flatten_checked,
+    round_half_up,
+)
 
 ROUND_DP = 6
 
@@ -84,7 +88,9 @@ def _assign_arrow_df(
             vecs = batch.column(1)
             x = flatten_checked(vecs, dim, "v")
             vv = (x * x).sum(axis=1)
-            d2 = np.round(vv[:, None] - 2.0 * (x @ c_mat.T) + cc[None, :], ROUND_DP)
+            d2 = round_half_up(
+                vv[:, None] - 2.0 * (x @ c_mat.T) + cc[None, :], ROUND_DP
+            )
             idx = np.argmin(d2, axis=1)  # first minimum = lowest cid tie-break
             yield pa.RecordBatch.from_arrays(
                 [

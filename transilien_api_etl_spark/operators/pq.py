@@ -140,7 +140,10 @@ def pq_codes_arrow(
     differs, so callers keep the JVM form inside the oracle-parity domain
     (plans/pq_q.py switches on corpus size). Output: (id_col, codes
     array<int>)."""
-    from transilien_api_etl_spark.functions.vectors import flatten_checked
+    from transilien_api_etl_spark.functions.vectors import (
+        flatten_checked,
+        round_half_up,
+    )
 
     dim = len(books) * sub_dim
 
@@ -160,7 +163,7 @@ def pq_codes_arrow(
             for m, (cids, c_mat, cc) in enumerate(mats):
                 xm = x[:, m * sub_dim : (m + 1) * sub_dim]
                 vv = (xm * xm).sum(axis=1)
-                d2 = np.round(
+                d2 = round_half_up(
                     vv[:, None] - 2.0 * (xm @ c_mat.T) + cc[None, :], ROUND_DP
                 )
                 cols.append(cids[np.argmin(d2, axis=1)])

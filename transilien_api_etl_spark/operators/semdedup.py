@@ -11,18 +11,31 @@ arithmetic as blocked BLAS. ``applyInPandas`` over ``groupBy(cluster)`` is
 exactly the Spark shape for this — one shuffle keyed by cluster, then an
 embarrassingly parallel kernel per group, no driver involvement, so at
 100 TB the cost is the one exchange plus Σ size² FLOPs spread over the
-cluster.
+cluster. The kernel emits the SURVIVOR rows directly — it already holds
+the whole cluster, so a dup-ids + anti-join shape would re-evaluate the
+dominant Θ(n·k) assignment lineage a second time on the other side of the
+join (measured: the round-7 review caught exactly that, ~2× the query).
 
-Semantics match the JVM join: drop a member iff SOME smaller-id member of
-the same cluster has round(cosine, 6) ≥ τ (neighbours need not themselves
-survive). Only the float summation order differs (pairwise-BLAS vs the
-sequential fold), which is outside the oracle-parity domain by
-construction.
+Semantics match the JVM join, including its edges: drop a member iff SOME
+smaller-id member of the same cluster has round(cosine, 6) ≥ τ, where
+neighbours need not themselves survive, rounding is half-UP (the JVM /
+DuckDB tie behavior, not numpy's half-even), and a NaN cosine (a
+NaN-poisoned embedding) COUNTS as ≥ τ — both Spark and DuckDB order NaN
+above every value, so the JVM filter drops such rows and this kernel
+must too (tests/test_scale_arrow_paths.py). One deliberate divergence:
+a ZERO-NORM vector is 0/0 — the JVM form raises DIVIDE_BY_ZERO under
+ANSI where this kernel produces NaN and therefore drops the row, per
+the repo's degrade-never-job-kill convention for out-of-contract
+inputs. Only the float summation order otherwise differs
+(pairwise-BLAS vs the sequential fold), which is outside the
+oracle-parity domain by construction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from transilien_api_etl_spark.functions.vectors import round_half_up
 
 # Cap on gram-block entries (rows_block × cluster_size doubles): 2^21
 # entries = 16 MiB per temporary, so even a badly skewed 100 k-row cluster
@@ -30,7 +43,7 @@ from pyspark.sql import DataFrame
 _BLOCK_ENTRIES = 1 << 21
 
 
-def within_cluster_dup_ids(
+def within_cluster_survivors(
     km: DataFrame,
     tau: float,
     *,
@@ -38,7 +51,25 @@ def within_cluster_dup_ids(
     vec_col: str = "v",
     cluster_col: str = "cluster",
 ) -> DataFrame:
-    """ids having a smaller-id, same-cluster neighbour with cosine ≥ τ."""
+    """(id, cluster) rows having NO smaller-id, same-cluster neighbour
+    with cosine ≥ τ (NaN counting as ≥ τ, as both engines compare it)."""
+
+    if not tau > 0:
+        raise ValueError(
+            "within_cluster_survivors requires tau > 0: the single-pass "
+            "threshold form below folds the 6-dp half-up rounding into "
+            "the cut and assumes negative cosines can never qualify"
+        )
+    # round_half_up(s, 6) >= tau  ⇔  s >= tau − 0.5·10⁻⁶ (for tau > 0
+    # given at ≤6 dp), so ONE comparison replaces round+compare — the
+    # gram matrices are ~10⁹ entries per cluster batch and every extra
+    # full-matrix pass is ~seconds of memory traffic (measured: the
+    # round-then-compare form cost +50% on the whole query). Written as
+    # ~(s < cut) so NaN (comparing False either way) lands on the DUP
+    # side, matching Spark/DuckDB's NaN-above-everything ordering.
+    import numpy as np
+
+    cut = float(round_half_up(np.array(tau), 6)) - 0.5e-6
 
     def prune(pdf):
         import numpy as np
@@ -46,7 +77,7 @@ def within_cluster_dup_ids(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = len(pdf)
         if m <= 1:
-            return pdf.iloc[0:0][[id_col]]
+            return pdf[[id_col, cluster_col]]
         x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             nrm = np.sqrt((x * x).sum(axis=1))
@@ -60,15 +91,12 @@ def within_cluster_dup_ids(
                 s = x[lo:hi] @ x[:hi].T
                 s /= nrm[lo:hi, None]
                 s /= nrm[None, :hi]
-                s = np.round(s, 6)
                 mask = cols[None, :hi] < np.arange(lo, hi)[:, None]
-                # NaN (zero-norm vector) compares False — never a dup,
-                # same as the JVM filter where NULL/NaN ≥ τ is not true.
-                dup[lo:hi] = np.greater_equal(
-                    s, tau, where=mask, out=np.zeros_like(s, dtype=bool)
-                ).any(axis=1)
-        return pdf.loc[dup, [id_col]]
+                dup[lo:hi] = (~(s < cut) & mask).any(axis=1)
+        return pdf.loc[~dup, [id_col, cluster_col]]
 
-    return km.select(id_col, vec_col, cluster_col).groupBy(cluster_col).applyInPandas(
-        prune, schema=f"{id_col} long"
+    return (
+        km.select(id_col, vec_col, cluster_col)
+        .groupBy(cluster_col)
+        .applyInPandas(prune, schema=f"{id_col} long, {cluster_col} int")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
 from transilien_api_etl_spark.io import load_table
 from transilien_api_etl_spark.operators.kmeans import kmeans_assign, kmeans_oracle_cte
-from transilien_api_etl_spark.operators.semdedup import within_cluster_dup_ids
+from transilien_api_etl_spark.operators.semdedup import within_cluster_survivors
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 
@@ -115,13 +115,10 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Scale path (outside the oracle's k=8 / bit-parity domain, which
         # no driver SF leaves): per-cluster gram-matrix prune in a grouped
         # Arrow kernel — one shuffle keyed by cluster, Σ size² BLAS FLOPs
-        # instead of Σ size² interpreted HOF folds.
-        dups = within_cluster_dup_ids(km, _TAU)
-        return (
-            km.join(dups, "vec_id", "left_anti")
-            .select("vec_id", "cluster")
-            .orderBy("vec_id")
-        )
+        # instead of Σ size² interpreted HOF folds. The kernel emits
+        # survivors directly; a dup-ids + anti-join shape would run the
+        # Θ(n·k) assignment lineage twice (once per join side).
+        return within_cluster_survivors(km, _TAU).orderBy("vec_id")
     km = km.withColumn("nrm", l2_norm(F.col("v")))
     a = km.alias("a")
     b = km.alias("b")
