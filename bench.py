@@ -24,12 +24,19 @@ Prints exactly ONE JSON line:
 Timing discipline: one shared SparkSession (a cluster user amortizes JVM
 startup the same way), one untimed warm-up rep per query per engine (cold
 page-cache + JIT), then the MEDIAN of 3 timed warm reps (2 past the 5 s
-slow-query cutoff) on BOTH engines — raw reps ride in ``*_reps`` sidecar
-fields so any graded number can be audited against its spread (VERDICT r5
-task 1: single-shot grading recorded 2× phantom regressions on sub-second
-queries). Each rep times the query end-to-end including its action (count
-of the materialized result — collect would measure Arrow transfer, which
-is the caller's cost, not the plan's).
+slow-query cutoff; DuckDB additionally 1 past the 20 s very-slow tier) on
+BOTH engines — raw reps ride in ``*_reps`` sidecar fields so any graded
+number can be audited against its spread (VERDICT r5 task 1: single-shot
+grading recorded 2× phantom regressions on sub-second queries). Each rep
+times the query end-to-end including its action (count of the
+materialized result — collect would measure Arrow transfer, which is the
+caller's cost, not the plan's).
+
+Phase-2 internal order (round 8, VERDICT r7 task 1): light Spark rows →
+bucketed phase → bench_heavy Spark rows → DuckDB oracles (light, then
+capped-heavy). The three LLM-ops rows materialize multi-GB intermediates;
+timed before the light rows (round 7's alphabetical order) their page-
+cache eviction inflated unchanged sub-second plans by 1.4–2.3×.
 """
 
 from __future__ import annotations
@@ -88,6 +95,15 @@ def sf_from_dir(path: str) -> float:
 # — the medians below are VERDICT r5 task 1's fix for exactly that).
 SLOW_QUERY_CUTOFF_S = 5.0
 
+# DuckDB-oracle-only tier above the slow cutoff: an oracle whose WARM rep
+# exceeds this gets a single timed rep. These rows are the 50–100×
+# Spark-favoring blowouts (as-of 25 s, sessionize 48 s at 60 M rows) where
+# the ratio is decided to within noise by any one warm rep; the ~70 s a
+# third-and-second rep cost there is exactly the headroom VERDICT r7
+# task 2 wants back under the 1 200 s self-kill budget. Spark-side reps
+# keep the stricter 2-rep floor: Spark medians are the GRADED numerators.
+VERY_SLOW_ORACLE_S = 20.0
+
 
 def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[float]]:
     """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
@@ -118,7 +134,7 @@ def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[f
 
 def time_spark(
     specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3,
-    force_reps=False,
+    force_reps=False, bench_variant=False,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
@@ -126,13 +142,16 @@ def time_spark(
         if skipped is not None and remaining() <= 30:
             skipped.append(f"{skip_label}:{name}")
             continue
+        # Scale phase only: a spec may carry a reduced-corpus bench twin
+        # (both engines filter identically — see QuerySpec.bench_fn).
+        fn = (specs[name].bench_fn or specs[name].fn) if bench_variant else specs[name].fn
         # Untimed warm-up rep: pays the cold page-cache read and JIT so
         # the timed reps measure the plan.
         t0 = time.perf_counter()
-        n = specs[name].fn(spark, data_dir).count()
+        n = fn(spark, data_dir).count()
         warm_s = time.perf_counter() - t0
         timings[name], raw_reps[name] = _median_reps(
-            lambda: specs[name].fn(spark, data_dir).count(), warm_s, n_reps,
+            lambda: fn(spark, data_dir).count(), warm_s, n_reps,
             force_reps=force_reps,
         )
         print(
@@ -144,15 +163,18 @@ def time_spark(
 
 
 def time_duckdb(
-    specs, data_dir, skipped=None
+    specs, data_dir, skipped=None, bench_variant=False
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Run each query's oracle SQL on DuckDB views over the same parquet.
 
     Same discipline as the Spark side: one untimed warm rep, then the
-    median of 3 (2 past the slow cutoff) timed reps. Each run is
-    watchdog-guarded (``con.interrupt()``): one pathological
-    single-process oracle (the as-of/sessionize shapes take minutes at 60 M
-    rows) must not eat the whole budget of the remaining queries.
+    median of 3 (2 past the slow cutoff, 1 past VERY_SLOW_ORACLE_S — the
+    25–48 s sessionize/as-of oracles are 50–100× Spark blowouts where a
+    third rep buys ~nothing and costs ~70 s of the budget; VERDICT r7
+    task 2) timed reps. Each run is watchdog-guarded
+    (``con.interrupt()``): one pathological single-process oracle (the
+    as-of/sessionize shapes take minutes at 60 M rows) must not eat the
+    whole budget of the remaining queries.
     """
     import threading
 
@@ -181,7 +203,11 @@ def time_duckdb(
         return time.perf_counter() - t0
 
     for name in sorted(specs):
-        sql = REGISTRY[name].oracle
+        sql = (
+            (specs[name].bench_oracle or specs[name].oracle)
+            if bench_variant
+            else specs[name].oracle
+        )
         if not sql:
             continue
         if skipped is not None and remaining() <= 30:
@@ -202,7 +228,13 @@ def time_duckdb(
             continue
         raw = []
         hit_cap = False
-        for _ in range(2 if warm_s > SLOW_QUERY_CUTOFF_S else 3):
+        if warm_s > VERY_SLOW_ORACLE_S:
+            reps = 1
+        elif warm_s > SLOW_QUERY_CUTOFF_S:
+            reps = 2
+        else:
+            reps = 3
+        for _ in range(reps):
             # Re-derive the cap each rep: the budget keeps draining while
             # reps run, and a cap computed once before the warm rep could
             # let 3 near-cap reps overshoot BUDGET_S by minutes — an
@@ -259,14 +291,37 @@ def main() -> None:
             f"# scale data ready in {time.perf_counter() - t0:.1f}s: {rows}",
             file=sys.stderr,
         )
+        # Phase ORDER within the scale phase (round 8, VERDICT r7 task 1):
+        # light rows FIRST, then the bucketed phase, then the bench_heavy
+        # rows, then every DuckDB oracle. Round 7 timed the suite
+        # alphabetically, which put docs_minhash_candidates (materializes
+        # ~10⁸ candidate pairs — multi-GB of shuffle+output churning the
+        # page cache) BEFORE q1/q3/q5/events/knn: the graded light-row
+        # medians then measured cache eviction, not the unchanged plans
+        # (q3 1.53→3.49 s with a byte-identical plan, reps decaying
+        # 3.61→2.41 as the cache rewarmed). Heavy rows can't contaminate
+        # anything that is still to be measured if they run last among the
+        # Spark timings; oracles stay last of all so a budget kill costs
+        # trailing capped lower bounds, never a graded Spark median.
+        light = {n: s for n, s in specs.items() if not s.bench_heavy}
+        heavy = {n: s for n, s in specs.items() if s.bench_heavy}
+        variants = {
+            n: "bench_fn+bench_oracle(reduced corpus)"
+            for n, s in specs.items()
+            if s.bench_fn is not None or s.bench_oracle is not None
+        }
         warm.fn(spark, SCALE_DIR).count()
-        spark_t, spark_reps = time_spark(specs, spark, SCALE_DIR, skipped=skipped)
+        spark_t, spark_reps = time_spark(
+            light, spark, SCALE_DIR, skipped=skipped, bench_variant=True
+        )
         result["scale"] = {
             "factors": DEFAULT_FACTORS,
             "rows": rows,
             "stat": "median_of_warm_reps",
             "spark": spark_t,
             "spark_reps": spark_reps,
+            "order": "light -> bucketed -> heavy -> oracles",
+            "bench_variants": variants,
         }
         # Phase 2c — bucketed-at-rest facts (DEPLOY.md's prescribed 100 TB
         # layout, promoted from scripts/bucketed_facts_ab.py per VERDICT r4):
@@ -366,7 +421,25 @@ def main() -> None:
             }
         else:
             skipped.append("bucketed-phase:budget")
-        duck_t, duck_reps = time_duckdb(specs, SCALE_DIR, skipped=skipped)
+        # bench_heavy rows: last among the Spark timings (see phase-order
+        # note above). Their own medians are reliable in this slot — each
+        # pays its cold read in its untimed warm rep, same as ever.
+        heavy_t, heavy_reps = time_spark(
+            heavy, spark, SCALE_DIR, skipped=skipped, bench_variant=True
+        )
+        spark_t.update(heavy_t)
+        spark_reps.update(heavy_reps)
+        # Oracles: light (measurable) first, heavy (watchdog-capped lower
+        # bounds) last — if the budget dies mid-oracle-pass, what's lost
+        # is a 60 s cap stand-in, not a real measurement.
+        duck_t, duck_reps = time_duckdb(
+            light, SCALE_DIR, skipped=skipped, bench_variant=True
+        )
+        dh_t, dh_reps = time_duckdb(
+            heavy, SCALE_DIR, skipped=skipped, bench_variant=True
+        )
+        duck_t.update(dh_t)
+        duck_reps.update(dh_reps)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
         }
@@ -396,6 +469,7 @@ def main() -> None:
             "ratio_median": result["scale"]["ratio_median"],
             "bucketed_spark": {q: round(v, 3) for q, v in bspark_t.items()},
             "bucketed_ratio": result["scale"].get("bucketed", {}).get("ratio", {}),
+            "variants": sorted(variants),
             "skipped": skipped,
         }
     elif RUN_SCALE:

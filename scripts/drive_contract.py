@@ -11,6 +11,7 @@ import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ent
 import duckdb
+from transilien_api_etl_spark.plans.registry import REGISTRY as _REGISTRY
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[8]")
@@ -75,9 +76,18 @@ for name, fn in sorted(qs.items()):
                 p[c] = p[c].astype("datetime64[us]").map(lambda x: x.isoformat())
     m = (len(spdf)==len(dpdf), sorted(spdf.columns)==sorted(dpdf.columns), vhash(spdf)==vhash(dpdf))
     status = "MATCH" if all(m) else f"MISMATCH {m}"
-    print(f"  {status} {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     report[name] = {"rows_match": m[0], "schema_match": m[1], "hash_match": m[2],
                     "spark_rows": len(spdf), "oracle_rows": len(dpdf), "err": None}
+    # Self-describing artifact (VERDICT r7 task 4): a query registered with
+    # a by_design note (e.g. the ANN row graded against an exact-truth
+    # oracle under a CI-asserted recall floor) carries that note INTO the
+    # JSON whenever it diverges, so a reader of the committed sf0.1 sweep
+    # can tell the documented probabilistic case from a regression.
+    _spec = _REGISTRY.get(name)
+    if not all(m) and _spec is not None and _spec.by_design:
+        report[name]["by_design"] = _spec.by_design
+        status += " (by design — see 'by_design' in the artifact)"
+    print(f"  {status} {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     ok += all(m); bad += not all(m)
 out_path = os.environ.get("SPARK_GRAFT_CONTRACT_OUT")
 if out_path:

@@ -1,0 +1,125 @@
+"""Bench-variant contract (VERDICT r7 tasks 1+2, SURVEY §3.12f).
+
+A QuerySpec may carry a reduced-corpus ``bench_fn``/``bench_oracle`` twin
+that bench.py's compute-bound phase times instead of the registered pair.
+The contract that keeps the graded ratio honest:
+
+1. the variant is semantically IDENTICAL to the registered query on every
+   un-amplified (driver testdata) corpus — the reduction may only bite on
+   the scale cache's shifted key space (doc_id += replica * 2^33);
+2. Spark and DuckDB variants apply the SAME reduction, so the ratio still
+   compares equal computations;
+3. the reduction actually bites on amplified keys (otherwise the budget
+   claim is fiction); and
+4. every bench_heavy row is bench=True (phase ordering only applies to
+   rows the bench runs) and every variant row is bench_heavy (a light row
+   never needs one).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import transilien_api_etl_spark.plans  # noqa: F401 — populate REGISTRY
+from transilien_api_etl_spark.plans.registry import REGISTRY
+from transilien_api_etl_spark.plans.text_q import (
+    _BENCH_DOC_BOUND,
+    _BENCH_REPLICA_CAP,
+    _minhash_candidate_pairs,
+)
+from transilien_api_etl_spark.scale import KEY_STRIDE
+
+from .conftest import SF_SMOKE
+
+VARIANT_SPECS = [
+    s for s in REGISTRY.values() if s.bench_fn is not None or s.bench_oracle is not None
+]
+
+
+def test_variant_rows_are_heavy_bench_rows():
+    assert VARIANT_SPECS, "minhash variant should be registered"
+    for s in VARIANT_SPECS:
+        assert s.bench and s.bench_heavy, s.name
+        # a variant must replace BOTH sides or the ratio compares
+        # different corpora
+        assert s.bench_fn is not None and s.bench_oracle is not None, s.name
+    for s in REGISTRY.values():
+        if s.bench_heavy:
+            assert s.bench, f"{s.name}: bench_heavy without bench=True"
+
+
+def test_minhash_bench_fn_identical_on_driver_corpus(spark):
+    s = REGISTRY["docs_minhash_candidates"]
+    a = s.fn(spark, SF_SMOKE).collect()
+    b = s.bench_fn(spark, SF_SMOKE).collect()
+    assert a == b and len(a) > 0
+
+
+def test_minhash_bench_oracle_identical_on_driver_corpus(duck):
+    s = REGISTRY["docs_minhash_candidates"]
+    assert duck.execute(s.oracle).fetchall() == duck.execute(s.bench_oracle).fetchall()
+
+
+def test_minhash_bench_oracle_embeds_same_bound():
+    s = REGISTRY["docs_minhash_candidates"]
+    assert f"doc_id < {_BENCH_DOC_BOUND}" in s.bench_oracle
+    assert _BENCH_DOC_BOUND == _BENCH_REPLICA_CAP * KEY_STRIDE
+
+
+def test_minhash_bound_bites_on_amplified_keys(spark, tmp_path):
+    """On a corpus whose doc_ids carry scale.py's replica stride, the
+    variant keeps exactly the replicas below the cap — and the filter is
+    visible in the scan (pushed, not a post-shuffle afterthought)."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(10)
+        .crossJoin(F.broadcast(spark.range(0, 200, 99).select(F.col("id").alias("rep"))))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(KEY_STRIDE)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    amp_dir = str(tmp_path / "amp")
+    docs.write.parquet(f"{amp_dir}/documents.parquet")
+
+    full = _minhash_candidate_pairs(spark, amp_dir)
+    capped = _minhash_candidate_pairs(spark, amp_dir, doc_id_bound=_BENCH_DOC_BOUND)
+    full_ids = {r.id_a for r in full.collect()} | {r.id_b for r in full.collect()}
+    capped_rows = capped.collect()
+    capped_ids = {r.id_a for r in capped_rows} | {r.id_b for r in capped_rows}
+    assert any(i >= _BENCH_DOC_BOUND for i in full_ids), "replicas 99/198 are near-dups"
+    assert capped_ids and all(i < _BENCH_DOC_BOUND for i in capped_ids)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+@pytest.mark.parametrize("name", ["docs_minhash_candidates"])
+def test_bench_py_selects_variant_only_in_variant_mode(spark, name):
+    import bench
+
+    s = REGISTRY[name]
+    seen = []
+
+    class Probe:
+        def __init__(self, which):
+            self.which = which
+
+        def __call__(self, spark_, sf_dir):
+            seen.append(self.which)
+
+            class _N:
+                def count(self_inner):
+                    return 0
+
+            return _N()
+
+    probe_spec = type(s)(
+        name=s.name, fn=Probe("fn"), bench_fn=Probe("bench_fn"), bench=True
+    )
+    bench.time_spark({name: probe_spec}, spark, SF_SMOKE, bench_variant=True)
+    bench.time_spark({name: probe_spec}, spark, SF_SMOKE, bench_variant=False)
+    assert seen[0] == "bench_fn" and "fn" in seen[len(seen) // 2 :]

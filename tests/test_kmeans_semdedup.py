@@ -86,3 +86,42 @@ def test_semdedup_partitions_rows_into_survivors_and_dropped(spark):
     # survivors ∪ dropped = all rows; survivors ∩ dropped = ∅
     assert survivors.isdisjoint(dropped)
     assert len(survivors) + len(dropped) == total
+
+
+def test_derived_k_refuses_beyond_flat_assignment_ceiling():
+    """VERDICT r7 task 6: the k=n/4000 schedule's ceiling is an explicit
+    guard, not prose — a 10⁹-vector caller gets a named error pointing at
+    the hierarchical path, never a silently exploding Θ(n·k) task."""
+    import pytest
+
+    from transilien_api_etl_spark.plans.semdedup_q import (
+        _FLAT_ASSIGN_MAX_N,
+        _TARGET_CLUSTER,
+        _derived_k,
+    )
+
+    # at and below the bound: the documented schedule
+    assert _derived_k(_FLAT_ASSIGN_MAX_N) == _FLAT_ASSIGN_MAX_N // _TARGET_CLUSTER
+    assert _derived_k(1_000_000) == 250
+    assert _derived_k(2_000) == 8  # oracle domain: fixed k
+    with pytest.raises(ValueError, match="hierarchical/IVF"):
+        _derived_k(_FLAT_ASSIGN_MAX_N + 1)
+
+
+def test_within_cluster_survivors_rejects_sub_6dp_tau(spark):
+    """ADVICE r7: the single-comparison cut is only an identity for tau
+    representable at 6 dp; finer taus must fail loudly, not drift."""
+    import pytest
+
+    from transilien_api_etl_spark.operators.semdedup import (
+        within_cluster_survivors,
+    )
+
+    km = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)], "vec_id long, v array<double>, cluster int"
+    )
+    with pytest.raises(ValueError, match="6 decimal places"):
+        within_cluster_survivors(km, 0.2500004999)
+    # a 6-dp tau still works
+    out = within_cluster_survivors(km, 0.25).collect()
+    assert {r.vec_id for r in out} == {1, 2}  # orthogonal: both survive

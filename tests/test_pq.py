@@ -116,3 +116,40 @@ def test_pq_registered_queries_build_fast(spark):
         REGISTRY[name].fn(spark, SF).collect()
         elapsed = time.time() - t0
         assert elapsed < 10.0, f"{name} took {elapsed:.1f}s (budget 10s)"
+
+
+def test_pq_codes_arrow_handles_empty_and_zero_row_batches(spark):
+    """ADVICE r7: the Arrow encode kernel must stay schema-typed on a
+    0-row batch (pa.array([]) would infer null type and crash against the
+    declared array<int>), and an empty input must yield an empty, correctly
+    typed result end-to-end."""
+    from transilien_api_etl_spark.operators.pq import pq_codes_arrow
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_train(
+        emb, id_col="vec_id", vec_col="embedding",
+        m_sub=M_SUB, sub_dim=SUB_DIM, k=K_CODES, iterations=ITERS,
+    )
+    empty = emb.filter(F.col("vec_id") < 0)  # schema-preserving empty df
+    out = pq_codes_arrow(empty, books, SUB_DIM, id_col="vec_id", vec_col="embedding")
+    assert out.collect() == []
+    assert dict(out.dtypes)["codes"] == "array<int>"
+
+    # Drive the kernel generator directly with an explicit 0-row batch —
+    # Spark elides empty batches, so only the unit-level call exercises
+    # the typed empty path (pa.array([]) would infer null type here).
+    import pyarrow as pa
+
+    from transilien_api_etl_spark.operators.pq import _pq_encode_kernel
+
+    encode = _pq_encode_kernel(books, SUB_DIM, id_col="vec_id", vec_col="embedding")
+    zero_batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.list_(pa.float64())),
+        ],
+        ["vec_id", "embedding"],
+    )
+    (out_batch,) = list(encode([zero_batch]))
+    assert out_batch.num_rows == 0
+    assert out_batch.schema.field("codes").type == pa.list_(pa.int32())

@@ -239,6 +239,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+# (sf_dir, table) -> row count, memoized for the life of the process.
+# Consumers are the corpus-size path switches (PQ's sampled-train /
+# Arrow-encode threshold, SemDeDup's derived k): they re-derive the same
+# count on EVERY query invocation, which added a full extra scan+action
+# per call — including timed bench reps and tiny driver SFs where the
+# switch can never trigger (ADVICE r7). Safe to memoize: every sf_dir this
+# repo reads is immutable once materialized (driver testdata by contract;
+# the scale cache because a factor change changes the directory NAME —
+# scale.scale_dir_name).
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROW_COUNT_CACHE[key]
+
+
 def materialize_small(result: DataFrame, max_rows: int = 100_000) -> DataFrame:
     """Round-trip a FINAL small query result through the driver.
 

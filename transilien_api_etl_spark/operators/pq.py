@@ -140,6 +140,19 @@ def pq_codes_arrow(
     differs, so callers keep the JVM form inside the oracle-parity domain
     (plans/pq_q.py switches on corpus size). Output: (id_col, codes
     array<int>)."""
+    encode = _pq_encode_kernel(books, sub_dim, id_col=id_col, vec_col=vec_col)
+    return df.select(id_col, vec_col).mapInArrow(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def _pq_encode_kernel(
+    books: list[Codebook], sub_dim: int, *, id_col: str, vec_col: str
+):
+    """The mapInArrow generator behind :func:`pq_codes_arrow`, exposed at
+    module level so tests can drive it with explicit batches (Spark elides
+    0-row batches, so the empty-batch typing path is untestable through
+    the DataFrame API alone)."""
     from transilien_api_etl_spark.functions.vectors import (
         flatten_checked,
         round_half_up,
@@ -168,13 +181,17 @@ def pq_codes_arrow(
                 )
                 cols.append(cids[np.argmin(d2, axis=1)])
             codes = np.stack(cols, axis=1)  # n × M
+            # Explicit list<int32> type: on an EMPTY batch pa.array([])
+            # would infer null type and mismatch the declared array<int>
+            # schema (the kmeans kernel's empty path stays typed because
+            # its columns come from numpy; this one is a Python list of
+            # rows). ADVICE r7.
             yield pa.RecordBatch.from_arrays(
-                [vid, pa.array(list(codes))], [id_col, "codes"]
+                [vid, pa.array(list(codes), type=pa.list_(pa.int32()))],
+                [id_col, "codes"],
             )
 
-    return df.select(id_col, vec_col).mapInArrow(
-        encode, f"{id_col} long, codes array<int>"
-    )
+    return encode
 
 
 def pq_codes_col(books: list[Codebook], vec_col: str, sub_dim: int) -> Column:

@@ -60,6 +60,18 @@ def within_cluster_survivors(
             "threshold form below folds the 6-dp half-up rounding into "
             "the cut and assumes negative cosines can never qualify"
         )
+    import numpy as np
+
+    if float(round_half_up(np.array(tau), 6)) != float(tau):
+        # The one-comparison cut (round_half_up(s,6) >= tau ⇔
+        # s >= tau - 0.5e-6) is only an identity when tau itself is
+        # representable at 6 decimal places; a finer tau would silently
+        # diverge from the JVM round-then-compare semantics. ADVICE r7.
+        raise ValueError(
+            f"tau={tau!r} is not representable at 6 decimal places; the "
+            "single-comparison threshold form requires tau == "
+            "round_half_up(tau, 6)"
+        )
     # round_half_up(s, 6) >= tau  ⇔  s >= tau − 0.5·10⁻⁶ (for tau > 0
     # given at ≤6 dp), so ONE comparison replaces round+compare — the
     # gram matrices are ~10⁹ entries per cluster batch and every extra
@@ -67,9 +79,7 @@ def within_cluster_survivors(
     # round-then-compare form cost +50% on the whole query). Written as
     # ~(s < cut) so NaN (comparing False either way) lands on the DUP
     # side, matching Spark/DuckDB's NaN-above-everything ordering.
-    import numpy as np
-
-    cut = float(round_half_up(np.array(tau), 6)) - 0.5e-6
+    cut = float(tau) - 0.5e-6
 
     def prune(pdf):
         import numpy as np

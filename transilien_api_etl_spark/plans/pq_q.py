@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import cached_row_count, load_table
 from transilien_api_etl_spark.operators.pq import (
     adc_distance_col,
     adc_luts,
@@ -49,7 +49,7 @@ def _encoded_codes(spark: SparkSession, sf_dir: str):
     """(embeddings df, (vec_id, codes) df) with the size-based path switch
     shared by both PQ queries, so encode and search can never diverge."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = cached_row_count(spark, sf_dir, "embeddings")
     books = pq_train(
         emb,
         id_col="vec_id",
@@ -125,6 +125,7 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lower bound (BASELINE.md round-7 note).",
     tags=("vectors", "knn", "quantize", "pq"),
     bench=True,
+    bench_heavy=True,
     oracle_cap_s=60.0,
     oracle=f"""
 WITH {_CTE}

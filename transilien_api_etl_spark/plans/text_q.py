@@ -29,6 +29,7 @@ from transilien_api_etl_spark.operators.dedup import (
     minhash_signature_pairs,
 )
 from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.scale import KEY_STRIDE
 from transilien_api_etl_spark.session import ensure_query_confs
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -320,7 +321,8 @@ _MINHASH_MAX_BUCKET = 1000
 
 
 def _minhash_oracle_sql(
-    *, num_hashes: int, band_size: int, max_bucket_size: int
+    *, num_hashes: int, band_size: int, max_bucket_size: int,
+    doc_where: str = "",
 ) -> str:
     """DuckDB twin of operators/dedup.minhash_signature_pairs over the
     3-shingle tokens: identical seeded-md5 minima, identical BIGINT slot-
@@ -344,9 +346,10 @@ def _minhash_oracle_sql(
         for b in range(n_bands)
     )
     slot_eq = " AND ".join(f"a.s{i} = b.s{i}" for i in range(band_size))
+    where_clause = f" WHERE {doc_where}" if doc_where else ""
     return f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+  SELECT doc_id, string_split(text, ' ') AS s FROM documents{where_clause}
 ), sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -369,24 +372,31 @@ GROUP BY 1, 2 ORDER BY id_a, id_b
 """
 
 
-@register(
-    "docs_minhash_candidates",
-    doc="MinHash+LSH near-dup candidates (SURVEY §3 F10): 16 seeded-md5 "
-    "minima → 4 bands of 4 → band-bucket self-join. Pure built-ins, no "
-    "UDF, no quadratic pair scan. HASH-CHECKED since round 3: the "
-    "portable permutation hash lets DuckDB rebuild the identical "
-    "signatures, bands, bucket-size cap, and candidate pairs. bench: the "
-    "scale cache's 200-replica doc groups are near-dups by construction, "
-    "so the 1 M-doc candidate set is ~1.1e8 pairs — the boilerplate-"
-    "cluster shape max_bucket_size exists to bound (BASELINE.md round-7).",
-    tags=("dedup", "lsh"),
-    oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=_MINHASH_MAX_BUCKET),
-    bench=True,
-    oracle_cap_s=60.0,
-)
-def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Bench-scale corpus bound for the minhash row (VERDICT r7 task 2). The
+# scale cache amplifies documents 200× with doc_id += replica·KEY_STRIDE
+# (scale.py); candidate pairs live almost entirely INSIDE each replica
+# group (replicas are near-dups of one original by construction), so pair
+# count grows ~quadratically in replica depth: 200 replicas → ~1.1·10⁸
+# pairs → ~70 s/rep Spark-side, ~210 s of the 1 200 s bench budget on one
+# output-bound row whose Θ(matches) growth law BASELINE.md already records
+# at 1 M AND 2 M docs. The bench variant keeps every ORIGINAL doc but only
+# the first 100 replicas (doc_id < 100·KEY_STRIDE → 500 k docs, ~¼ the
+# pairs). On driver testdata doc_id is a small integer, so the filter is
+# a no-op there — tests/test_bench_variants.py asserts fn ≡ bench_fn on
+# un-amplified data.
+_BENCH_REPLICA_CAP = 100
+_BENCH_DOC_BOUND = _BENCH_REPLICA_CAP * KEY_STRIDE
+
+
+def _minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str, doc_id_bound: int | None = None
+) -> DataFrame:
     ensure_query_confs(spark)
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = load_table(spark, sf_dir, "documents")
+    if doc_id_bound is not None:
+        # plain comparison on the scan column → pushed to the parquet reader
+        d = d.filter(F.col("doc_id") < doc_id_bound)
+    d = d.withColumn(
         "_toks", tokenize(F.col("text"))  # once per row; see docs_shingle_jaccard
     )
     pairs = minhash_signature_pairs(
@@ -398,6 +408,39 @@ def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=_MINHASH_MAX_BUCKET,
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def _docs_minhash_candidates_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_candidate_pairs(spark, sf_dir, doc_id_bound=_BENCH_DOC_BOUND)
+
+
+@register(
+    "docs_minhash_candidates",
+    doc="MinHash+LSH near-dup candidates (SURVEY §3 F10): 16 seeded-md5 "
+    "minima → 4 bands of 4 → band-bucket self-join. Pure built-ins, no "
+    "UDF, no quadratic pair scan. HASH-CHECKED since round 3: the "
+    "portable permutation hash lets DuckDB rebuild the identical "
+    "signatures, bands, bucket-size cap, and candidate pairs. bench: the "
+    "scale cache's 200-replica doc groups are near-dups by construction, "
+    "so the 1 M-doc candidate set is ~1.1e8 pairs — the boilerplate-"
+    "cluster shape max_bucket_size exists to bound (BASELINE.md round-7); "
+    "the graded row runs the 500 k-doc bench variant (both engines, same "
+    "filter) so the budget measures the plan, not the output volume.",
+    tags=("dedup", "lsh"),
+    oracle=_minhash_oracle_sql(num_hashes=16, band_size=4, max_bucket_size=_MINHASH_MAX_BUCKET),
+    bench=True,
+    oracle_cap_s=60.0,
+    bench_fn=_docs_minhash_candidates_bench,
+    bench_oracle=_minhash_oracle_sql(
+        num_hashes=16,
+        band_size=4,
+        max_bucket_size=_MINHASH_MAX_BUCKET,
+        doc_where=f"doc_id < {_BENCH_DOC_BOUND}",
+    ),
+    bench_heavy=True,
+)
+def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_candidate_pairs(spark, sf_dir)
 
 
 @register(

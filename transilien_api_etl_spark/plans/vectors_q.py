@@ -366,6 +366,13 @@ def _lsh_candidate_pairs(
     "checked corpus, so the driver check doubles as a 100%-recall assertion "
     "(see tests/test_lsh_recall.py for the floor at weaker banding).",
     tags=("vectors", "dedup", "lsh"),
+    by_design="approximate-by-design: LSH ANN candidates graded against "
+    "the EXACT all-pairs oracle; any divergence is missed-recall pairs, "
+    "bounded by the CI-asserted 99.9% recall floor "
+    "(tests/test_lsh_recall.py) — at sf0.1 the observed recall is 99.93% "
+    "(4134/4137 pairs), so rows_match=false there is the documented "
+    "probabilistic case, not a regression. Exact at driver correctness "
+    "SFs (sf0.001/sf0.01: recall has measured 100% every round).",
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_PAIR_COS}, 8) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
