@@ -134,7 +134,7 @@ def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[f
 
 def time_spark(
     specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3,
-    force_reps=False, bench_variant=False,
+    force_reps=False, bench_variant=False, n_warm=1,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
@@ -145,8 +145,14 @@ def time_spark(
         # Scale phase only: a spec may carry a reduced-corpus bench twin
         # (both engines filter identically — see QuerySpec.bench_fn).
         fn = (specs[name].bench_fn or specs[name].fn) if bench_variant else specs[name].fn
-        # Untimed warm-up rep: pays the cold page-cache read and JIT so
-        # the timed reps measure the plan.
+        # Untimed warm-up rep(s): pay the cold page-cache read and JIT so
+        # the timed reps measure the plan. The bucketed phase asks for 2 —
+        # its files are untouched since the PREVIOUS bench run, and one
+        # warm-up has twice left the first timed reps 1.2–2.4× the warmed
+        # tail (r7 graded run; r8 validation rep spread [1.17, 2.35, 0.97,
+        # 0.89, 0.98]) — on the suite's most bar-sensitive median.
+        for _ in range(n_warm - 1):
+            fn(spark, data_dir).count()
         t0 = time.perf_counter()
         n = fn(spark, data_dir).count()
         warm_s = time.perf_counter() - t0
@@ -407,6 +413,7 @@ def main() -> None:
                     skip_label="spark-bucketed",
                     n_reps=5,
                     force_reps=True,
+                    n_warm=2,
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")

@@ -1,7 +1,7 @@
 """Minimal transformWithStateInPandas repro on PySpark 4.1.2, outside pytest.
 
-Observed in this container (2026-08-13; re-verified rounds 4, 5, 6 and 7 —
-last run 2026-08-15 round 7, `import google` still fails, script still
+Observed in this container (2026-08-13; re-verified rounds 4, 5, 6, 7 and 8
+— last run 2026-08-15 round 8, `import google` still fails, script still
 prints TWS_CRASH):
 the streaming query terminates with
   SparkException: TransformWithStateInPySpark driver worker exited
