@@ -92,10 +92,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(exact percentile over exact-cent edge volumes — DECIMAL sums, so "
     "edge membership can never flip on float sum order) to leave real "
     "structure. Wedges come from the degree table; coefficient = "
-    "3·triangles / wedges.",
+    "3·triangles / wedges. Oracle CTEs are AS MATERIALIZED (round 8): "
+    "vol/raw are multiply-referenced and DuckDB's default inlining "
+    "re-evaluated the 4-way fact join per reference — observed 732 s "
+    "then an allocator OOM at sf0.1 in the r8 sweep vs 0.1 s "
+    "materialized, same result either way.",
     tags=("graph", "triangles"),
     oracle="""
-WITH vol AS (
+WITH vol AS MATERIALIZED (
   SELECT least(s.s_nationkey, c.c_nationkey) AS a,
          greatest(s.s_nationkey, c.c_nationkey) AS b,
          CAST(sum(CAST(round(l.l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS v
@@ -105,12 +109,12 @@ WITH vol AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s.s_nationkey <> c.c_nationkey
   GROUP BY 1, 2),
-raw AS (
+raw AS MATERIALIZED (
   SELECT a, b FROM vol WHERE v > (SELECT quantile_cont(v, 0.6) FROM vol)),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, count(*) AS d FROM (
     SELECT a AS node FROM raw UNION ALL SELECT b FROM raw) GROUP BY node),
-tri AS (
+tri AS MATERIALIZED (
   SELECT count(*) AS n_tri
   FROM raw e1 JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
               JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b)
