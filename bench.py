@@ -105,6 +105,12 @@ SLOW_QUERY_CUTOFF_S = 5.0
 VERY_SLOW_ORACLE_S = 20.0
 
 
+def _oracle_rep_count(warm_s: float) -> int:
+    if warm_s > VERY_SLOW_ORACLE_S:
+        return 1
+    return 2 if warm_s > SLOW_QUERY_CUTOFF_S else 3
+
+
 def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[float]]:
     """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
     slow cutoff — unless force_reps). Raw reps are returned for the JSON
@@ -234,13 +240,7 @@ def time_duckdb(
             continue
         raw = []
         hit_cap = False
-        if warm_s > VERY_SLOW_ORACLE_S:
-            reps = 1
-        elif warm_s > SLOW_QUERY_CUTOFF_S:
-            reps = 2
-        else:
-            reps = 3
-        for _ in range(reps):
+        for _ in range(_oracle_rep_count(warm_s)):
             # Re-derive the cap each rep: the budget keeps draining while
             # reps run, and a cap computed once before the warm rep could
             # let 3 near-cap reps overshoot BUDGET_S by minutes — an

@@ -32,3 +32,31 @@ def test_empty_result_keeps_schema(spark):
     out = materialize_small(df)
     assert out.count() == 0
     assert out.schema == df.schema
+
+
+def test_cached_row_count_scans_once_per_dir_table(spark, monkeypatch):
+    """ADVICE r7: the corpus-size path switches (PQ Arrow threshold,
+    SemDeDup derived k) must not pay a count() scan per query invocation
+    — the count is memoized per (sf_dir, table) for the process life,
+    which is safe because every sf_dir this repo reads is immutable once
+    materialized (a scale-factor change changes the directory NAME)."""
+    from transilien_api_etl_spark import io as io_mod
+
+    calls = {"n": 0}
+    real_load = io_mod.load_table
+
+    def counting_load(spark_, sf_dir, name):
+        calls["n"] += 1
+        return real_load(spark_, sf_dir, name)
+
+    monkeypatch.setattr(io_mod, "load_table", counting_load)
+    io_mod._ROW_COUNT_CACHE.clear()
+    n1 = io_mod.cached_row_count(spark, "/root/testdata/sf0.001", "embeddings")
+    n2 = io_mod.cached_row_count(spark, "/root/testdata/sf0.001", "embeddings")
+    # trailing-slash spelling of the same dir must hit the same entry
+    n3 = io_mod.cached_row_count(spark, "/root/testdata/sf0.001/", "embeddings")
+    assert n1 == n2 == n3 > 0
+    assert calls["n"] == 1
+    # a different table is a different entry
+    io_mod.cached_row_count(spark, "/root/testdata/sf0.001", "documents")
+    assert calls["n"] == 2
