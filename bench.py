@@ -193,6 +193,11 @@ def time_duckdb(
     import duckdb
 
     con = duckdb.connect()
+    # Keep DuckDB's spill files OUT of the repo: an in-memory connection's
+    # temp_directory defaults to ./.tmp of the CWD, and a watchdog-capped
+    # oracle can spill GBs before the interrupt lands (the r8 triangle
+    # OOM left 9.4 GB under the repo before its MATERIALIZED fix).
+    con.execute("SET temp_directory='/tmp/duckdb_bench_spill.tmp'")
     for t in TABLES:
         p = os.path.join(data_dir, f"{t}.parquet")
         if os.path.isdir(p):

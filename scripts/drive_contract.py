@@ -26,6 +26,7 @@ print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) > 0
 
 con = duckdb.connect()
+con.execute("SET temp_directory='/tmp/duckdb_contract_spill.tmp'")  # never spill into the CWD/repo
 SF = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
