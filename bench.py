@@ -442,6 +442,27 @@ def main() -> None:
             }
         else:
             skipped.append("bucketed-phase:budget")
+        # Pair the bar-sensitive q3/q5 ORACLES with the Spark runs they
+        # grade: measured HERE, adjacent to the plain+bucketed Spark
+        # timings, instead of in the end-of-run oracle pass. Rationale
+        # (round 8, five-run record in BASELINE.md): Spark's steady-state
+        # for these rows drifts ±25% BETWEEN runs while DuckDB's stays
+        # flat (0.44-0.59 s in every run — measured insensitive even
+        # mid-run under this pairing), so the graded ratio should at
+        # least come from one moment in time, not a numerator from one
+        # box state and a denominator from another 400 s later.
+        # Same-conditions pairing is the defensible protocol either way,
+        # and costs ~8 s (4 reps × 2 sub-second oracles), so the
+        # budget-kill argument for oracles-last still holds for
+        # everything expensive.
+        paired = {
+            q: light[q]
+            for q in ("q3_shipping_priority", "q5_local_supplier")
+            if q in light
+        }
+        duck_t, duck_reps = time_duckdb(
+            paired, SCALE_DIR, skipped=skipped, bench_variant=True
+        )
         # bench_heavy rows: last among the Spark timings (see phase-order
         # note above). Their own medians are reliable in this slot — each
         # pays its cold read in its untimed warm rep, same as ever.
@@ -452,14 +473,18 @@ def main() -> None:
         spark_reps.update(heavy_reps)
         # Oracles: light (measurable) first, heavy (watchdog-capped lower
         # bounds) last — if the budget dies mid-oracle-pass, what's lost
-        # is a 60 s cap stand-in, not a real measurement.
-        duck_t, duck_reps = time_duckdb(
-            light, SCALE_DIR, skipped=skipped, bench_variant=True
+        # is a 60 s cap stand-in, not a real measurement. q3/q5 were
+        # already paired-measured above and are not re-run.
+        light_rest = {n: s for n, s in light.items() if n not in paired}
+        dl_t, dl_reps = time_duckdb(
+            light_rest, SCALE_DIR, skipped=skipped, bench_variant=True
         )
         dh_t, dh_reps = time_duckdb(
             heavy, SCALE_DIR, skipped=skipped, bench_variant=True
         )
+        duck_t.update(dl_t)
         duck_t.update(dh_t)
+        duck_reps.update(dl_reps)
         duck_reps.update(dh_reps)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
