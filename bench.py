@@ -340,7 +340,10 @@ def main() -> None:
             "stat": "median_of_warm_reps",
             "spark": spark_t,
             "spark_reps": spark_reps,
-            "order": "light -> bucketed -> heavy -> oracles",
+            "order": (
+                "light -> bucketed -> paired q3/q5 oracles -> heavy "
+                "-> remaining oracles"
+            ),
             "bench_variants": variants,
         }
         # Phase 2c — bucketed-at-rest facts (DEPLOY.md's prescribed 100 TB

@@ -36,6 +36,10 @@ WATCHDOG_S = 3600.0
 
 spec = REGISTRY["docs_minhash_candidates"]
 con = duckdb.connect()
+# Same spill-directory pin as bench.py / drive_contract.py: an in-memory
+# connection spills to ./.tmp of the CWD by default, and an hour-long 1 M-doc
+# oracle can stage multi-GB temps — keep them out of the repo (ADVICE r8).
+con.execute("SET temp_directory='/tmp/duckdb_minhash_spill.tmp'")
 docs = os.path.join(SCALE_DIR, "documents.parquet")
 if os.path.isdir(docs):
     docs = os.path.join(docs, "*.parquet")

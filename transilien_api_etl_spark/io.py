@@ -252,7 +252,20 @@ _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
 def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
-    key = (os.path.abspath(sf_dir), name)
+    """Row count memoized per (dir, table, table mtime). The mtime in the
+    key is the invalidation (ADVICE r8): a same-named dir whose contents
+    are rewritten mid-process (e.g. a partially materialized scale cache
+    redone after a kill) must not feed a stale count to the PQ
+    Arrow-threshold / SemDeDup derived-k switches. A parquet DIRECTORY's
+    mtime changes whenever files inside it are (re)written, and
+    materialize_scale replaces single-file tables wholesale, so the stat
+    is a sound freshness proxy either way."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (os.path.abspath(sf_dir), name, mtime)
     if key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
     return _ROW_COUNT_CACHE[key]

@@ -52,7 +52,18 @@ def within_cluster_survivors(
     cluster_col: str = "cluster",
 ) -> DataFrame:
     """(id, cluster) rows having NO smaller-id, same-cluster neighbour
-    with cosine ≥ τ (NaN counting as ≥ τ, as both engines compare it)."""
+    with cosine ≥ τ (NaN counting as ≥ τ, as both engines compare it).
+
+    Raises ValueError unless ``tau > 0`` AND ``tau`` is exactly its own
+    6-dp half-up rounding (ADVICE r8: the raise is part of the public
+    contract, not an internal detail): the single-comparison threshold
+    below folds the round-to-6dp step into the cut, which is only an
+    identity for taus representable at 6 decimal places. A caller with a
+    computed tau must round it to 6 dp first — silently rounding here
+    would diverge from the JVM round-then-compare semantics it mirrors.
+    The equality check inherits round_half_up's documented 1-ULP midpoint
+    caveat; taus given as ≤6-dp literals (every in-repo caller) are exact.
+    """
 
     if not tau > 0:
         raise ValueError(
