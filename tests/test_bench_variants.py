@@ -67,6 +67,74 @@ def test_minhash_bench_oracle_embeds_same_bound():
     assert _BENCH_DOC_BOUND == _BENCH_REPLICA_CAP * KEY_STRIDE
 
 
+# ---- round-9 twins: semdedup_survivors / knn_pq_adc_top10 --------------
+# Same contract as minhash: at driver SFs the vec_id bound is a no-op, the
+# SQL k-schedule subquery degrades to k=8, and the PQ training-sample
+# modulus degrades to 1 — so fn ≡ bench_fn AND oracle ≡ bench_oracle
+# value-for-value, which is what makes the reduced-corpus graded ratio a
+# timing of the SAME computation, not a different one.
+
+_R9_TWINS = ["semdedup_survivors", "knn_pq_adc_top10"]
+
+
+@pytest.mark.parametrize("name", _R9_TWINS)
+def test_r9_twin_bench_fn_identical_on_driver_corpus(spark, name):
+    s = REGISTRY[name]
+    a = s.fn(spark, SF_SMOKE).collect()
+    b = s.bench_fn(spark, SF_SMOKE).collect()
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("name", _R9_TWINS)
+def test_r9_twin_bench_oracle_identical_on_driver_corpus(duck, name):
+    s = REGISTRY[name]
+    assert duck.execute(s.oracle).fetchall() == duck.execute(s.bench_oracle).fetchall()
+
+
+def test_r9_twin_bench_oracles_embed_their_bounds():
+    from transilien_api_etl_spark.plans.pq_q import (
+        _BENCH_VEC_BOUND as PQ_BOUND,
+    )
+    from transilien_api_etl_spark.plans.semdedup_q import (
+        _BENCH_VEC_BOUND as SD_BOUND,
+    )
+
+    assert f"vec_id < {SD_BOUND}" in REGISTRY["semdedup_survivors"].bench_oracle
+    assert f"vec_id < {PQ_BOUND}" in REGISTRY["knn_pq_adc_top10"].bench_oracle
+    # the bound must sit on a replica edge of the scale cache's key stride
+    assert SD_BOUND % KEY_STRIDE == 0 and PQ_BOUND % KEY_STRIDE == 0
+
+
+def test_r9_twin_bound_bites_and_pushes_down(spark, tmp_path):
+    """On a corpus with scale.py's replica stride, the twin keeps exactly
+    the replicas below the cap, the derived-k schedule follows the
+    FILTERED count, and the bound reaches the parquet scan."""
+    from transilien_api_etl_spark.plans import semdedup_q
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .limit(10)
+        .crossJoin(
+            F.broadcast(spark.range(0, 200, 99).select(F.col("id").alias("rep")))
+        )
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(KEY_STRIDE)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    amp_dir = str(tmp_path / "amp")
+    emb.write.parquet(f"{amp_dir}/embeddings.parquet")
+
+    km, k = semdedup_q._kmeans_df(spark, amp_dir, semdedup_q._BENCH_VEC_BOUND)
+    ids = [r.vec_id for r in km.select("vec_id").collect()]
+    assert ids and all(i < semdedup_q._BENCH_VEC_BOUND for i in ids)
+    assert len(ids) == 10  # only replica 0 survives a 64-replica bound
+    assert k == 8  # schedule derives from the filtered count, not 30 rows
+    plan = km._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "vec_id" in plan
+
+
 def test_minhash_bound_bites_on_amplified_keys(spark, tmp_path):
     """On a corpus whose doc_ids carry scale.py's replica stride, the
     variant keeps exactly the replicas below the cap — and the filter is

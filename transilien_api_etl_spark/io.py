@@ -271,6 +271,30 @@ def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[key]
 
 
+def cached_bounded_count(
+    spark: SparkSession, sf_dir: str, name: str, id_col: str, bound: int
+) -> int:
+    """``count(*) WHERE id_col < bound``, memoized like
+    :func:`cached_row_count` (same mtime invalidation). The reduced-corpus
+    bench twins derive their size-dependent model schedule (SemDeDup k,
+    PQ training modulus) from the FILTERED corpus, so the count they need
+    is the bounded one — a pushed-predicate parquet count, paid once per
+    (dir, bound, mtime)."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (os.path.abspath(sf_dir), name, id_col, bound, mtime)
+    if key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[key] = (
+            load_table(spark, sf_dir, name).filter(F.col(id_col) < bound).count()
+        )
+    return _ROW_COUNT_CACHE[key]
+
+
 def materialize_small(result: DataFrame, max_rows: int = 100_000) -> DataFrame:
     """Round-trip a FINAL small query result through the driver.
 

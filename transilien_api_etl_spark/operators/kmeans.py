@@ -195,12 +195,24 @@ def kmeans_assign(
     )
 
 
-def kmeans_oracle_cte(k: int, iterations: int, round_dp: int = ROUND_DP) -> str:
+def kmeans_oracle_cte(
+    k: int | str,
+    iterations: int,
+    round_dp: int = ROUND_DP,
+    where: str = "",
+) -> str:
     """The DuckDB CTE chain computing the identical assignment.
 
     Unrolled per iteration (recursive CTEs cannot re-aggregate per step —
     same honesty argument as the PageRank oracle). Exposes the final
     assignment as CTE ``af(vec_id, v, cluster, d2)``.
+
+    ``k`` may be an SQL expression (e.g. a scalar subquery over CTE ``e``
+    mirroring the derived-k schedule) — DuckDB accepts subqueries in
+    LIMIT, which is what lets ONE static bench-twin oracle stay
+    semantically identical to the Spark plan at every corpus size.
+    ``where`` (a bare predicate, no ``WHERE``) filters the corpus before
+    anything else — the reduced-corpus bench twins' knob.
     """
 
     def d2(vexpr: str, cexpr: str) -> str:
@@ -210,9 +222,10 @@ def kmeans_oracle_cte(k: int, iterations: int, round_dp: int = ROUND_DP) -> str:
             f"list_inner_product({cexpr},{cexpr}), {round_dp})"
         )
 
+    where_clause = f" WHERE {where}" if where else ""
     parts = [
         f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{where_clause}),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
        FROM e ORDER BY vec_id LIMIT {k})"""
     ]

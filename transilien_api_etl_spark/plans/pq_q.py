@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import cached_row_count, load_table
+from transilien_api_etl_spark.io import (
+    cached_bounded_count,
+    cached_row_count,
+    load_table,
+)
 from transilien_api_etl_spark.operators.pq import (
     adc_distance_col,
     adc_luts,
@@ -26,6 +30,7 @@ from transilien_api_etl_spark.operators.pq import (
     pq_train_sample_mod,
 )
 from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.scale import KEY_STRIDE
 from transilien_api_etl_spark.session import ensure_query_confs
 
 M_SUB = 16
@@ -44,12 +49,35 @@ _CTE = pq_oracle_cte(m_sub=M_SUB, sub_dim=SUB_DIM, k=K_CODES, iterations=ITERS)
 # SFs AND benchable at the 1 M-vector scale cache (80 s → ~8 s per rep).
 _ARROW_MIN_N = 100_000
 
+# Reduced-corpus bench twin bound (round 9, VERDICT r8 task 1): first 250
+# of the scale cache's 500 embedding replicas → 500 k vectors at the sf0.1
+# cache, where the twin oracle below — same vec_id bound, same sampled
+# training set (mod = n//65536 = 7, the portable vec_id % mod predicate
+# pq_train now shares), minjoin/materialized argmin formulation — MEASURED
+# 9.9 s vs the >200 s the full-corpus window-formulation chain needs even
+# at 200 k (scripts/bench_twin_probe.py). 500 k keeps the Spark side on
+# its genuine scale path: sampled train + Arrow matmul encode both stay
+# engaged (n ≥ _ARROW_MIN_N). On driver testdata vec_id < KEY_STRIDE, so
+# the filter is a no-op, the SQL mod expression degrades to 1, and
+# bench_oracle ≡ oracle value-for-value (tests/test_bench_variants.py).
+_BENCH_REPLICA_CAP = 250
+_BENCH_VEC_BOUND = _BENCH_REPLICA_CAP * KEY_STRIDE
+# pq_train_sample_mod(n) as SQL, evaluated against CTE nn's count n —
+# gated on _ARROW_MIN_N exactly like _encoded_codes' sample_mod switch.
+_TRAIN_MOD_EXPR = (
+    f"CASE WHEN n >= {_ARROW_MIN_N} THEN greatest(n//65536, 1) ELSE 1 END"
+)
 
-def _encoded_codes(spark: SparkSession, sf_dir: str):
+
+def _encoded_codes(spark: SparkSession, sf_dir: str, vec_bound: int | None = None):
     """(embeddings df, (vec_id, codes) df) with the size-based path switch
     shared by both PQ queries, so encode and search can never diverge."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = cached_row_count(spark, sf_dir, "embeddings")
+    if vec_bound is None:
+        n = cached_row_count(spark, sf_dir, "embeddings")
+    else:
+        emb = emb.filter(F.col("vec_id") < vec_bound)
+        n = cached_bounded_count(spark, sf_dir, "embeddings", "vec_id", vec_bound)
     books = pq_train(
         emb,
         id_col="vec_id",
@@ -119,10 +147,12 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array element_at per subspace, map-only scan, TakeOrderedAndProject "
     "top-k. This is exactly FAISS's IndexPQ search loop, declaratively. "
     "At 100 TB the codes table is the only thing scanned: 8 bytes/vector. "
-    "bench: the oracle replays 16 unrolled Lloyd chains + a 16-way self-"
-    "join at full corpus size — asymptotically heavier than the sampled-"
-    "train + Arrow-encode plan, so its bench-scale timing is a capped "
-    "lower bound (BASELINE.md round-7 note).",
+    "bench (round 9): the graded row runs the 500 k-vector reduced-corpus "
+    "twin on BOTH engines — same vec_id bound, same vec_id%7 training "
+    "sample, same train→encode→ADC recipe; the twin oracle's minjoin/"
+    "materialized argmin (value-identical to the window form, A/B'd) is "
+    "what lets DuckDB finish, replacing the capped lower bound with a "
+    "measured ratio (9.9 s at 500 k; scripts/bench_twin_probe.py).",
     tags=("vectors", "knn", "quantize", "pq"),
     bench=True,
     bench_heavy=True,
@@ -135,10 +165,33 @@ WHERE a0.vec_id <> 0
 ORDER BY adc_d2, a0.vec_id
 LIMIT 10
 """,
+    bench_fn=lambda spark, sf_dir: _adc_top10(spark, sf_dir, _BENCH_VEC_BOUND),
+    bench_oracle=f"""
+WITH {pq_oracle_cte(
+        m_sub=M_SUB,
+        sub_dim=SUB_DIM,
+        k=K_CODES,
+        iterations=ITERS,
+        where=f"vec_id < {_BENCH_VEC_BOUND}",
+        train_mod_expr=_TRAIN_MOD_EXPR,
+        argmin="minjoin",
+    )}
+SELECT a0.vec_id, round({_ADC_SUM}, 6) AS adc_d2
+FROM {_CODE_JOINS}{_LUT_JOINS}
+WHERE a0.vec_id <> 0
+ORDER BY adc_d2, a0.vec_id
+LIMIT 10
+""",
 )
 def knn_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_top10(spark, sf_dir)
+
+
+def _adc_top10(
+    spark: SparkSession, sf_dir: str, vec_bound: int | None = None
+) -> DataFrame:
     ensure_query_confs(spark)
-    emb, books, enc = _encoded_codes(spark, sf_dir)
+    emb, books, enc = _encoded_codes(spark, sf_dir, vec_bound)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, adc_d2 double")
