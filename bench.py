@@ -15,11 +15,16 @@ fixed ~0.2-0.5 s Spark scheduling overhead amortizes and the ratio measures
 plan quality, which is what has to survive a 100× scale-up. Disable with
 SPARK_GRAFT_SCALE=0.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line, kept under the driver artifact's 2000-char
+stdout tail so the recorded `tail` parses as JSON (rounds 2-8 shipped a
+~9 kB line whose tail started mid-object -> `parsed: null`):
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-     "scale": {"rows": {...}, "spark": {...}, "duckdb": {...},
-               "ratio": {...}, "ratio_median": N}}
+     "grade": {"ratio": {...}, "ratio_median": N, "bucketed_ratio": {...},
+               "variants": [...], "skipped": [...]}, "elapsed_s": N}
+
+Full detail (raw rep spreads, absolute DuckDB walls, scale-cache row
+counts) is written to BENCH_FULL_last.json next to this script.
 
 Timing discipline: one shared SparkSession (a cluster user amortizes JVM
 startup the same way), one untimed warm-up rep per query per engine (cold
@@ -109,6 +114,78 @@ def _oracle_rep_count(warm_s: float) -> int:
     if warm_s > VERY_SLOW_ORACLE_S:
         return 1
     return 2 if warm_s > SLOW_QUERY_CUTOFF_S else 3
+
+
+# The driver's bench artifact keeps only the LAST 2000 chars of stdout and
+# records `parsed: null` whenever that tail is not itself valid JSON —
+# which it never was in rounds 2-8, because the full result line runs
+# ~9 kB and the tail starts mid-object. The fix (VERDICT r8 task 2) is to
+# make the ENTIRE stdout one compact line under the tail budget: full
+# detail (raw reps, absolute DuckDB walls, scale rows) goes to the
+# BENCH_FULL_last.json sidecar, stdout carries the contract keys
+# (metric/value/unit/queries/sf) plus the graded ratios. 1900 leaves
+# margin for the trailing newline and any driver-side framing.
+STDOUT_TAIL_BUDGET = 1900
+
+
+def build_compact_line(result: dict) -> str:
+    """One JSON line <= STDOUT_TAIL_BUDGET chars carrying every graded
+    number; absolute per-engine walls and rep spreads stay in the sidecar.
+
+    Trim ladder (applied only if the line overflows, e.g. a long
+    ``skipped`` list after a budget kill): drop grade.variants -> round
+    ratios to 2 dp -> drop per-query grade.ratio detail (median survives).
+    Each rung is strictly smaller, so the final resort always fits."""
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "stat": result.get("stat"),
+        "sf": result["sf"],
+        "queries": {q: round(v, 3) for q, v in result["queries"].items()},
+        "elapsed_s": result.get("elapsed_s"),
+        "detail": "BENCH_FULL_last.json",
+    }
+    grade = result.get("grade")
+    if grade:
+        compact["grade"] = {
+            "ratio": grade.get("ratio", {}),
+            "ratio_median": grade.get("ratio_median"),
+            "bucketed_ratio": grade.get("bucketed_ratio", {}),
+            "variants": grade.get("variants", []),
+            "skipped": grade.get("skipped", []),
+        }
+    elif "scale_skipped" in result:
+        compact["scale_skipped"] = result["scale_skipped"]
+
+    def dump() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        compact["grade"].pop("variants", None)
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        for key in ("ratio", "bucketed_ratio"):
+            compact["grade"][key] = {
+                q: round(v, 2) for q, v in compact["grade"][key].items()
+            }
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        compact["grade"]["ratio"] = "see BENCH_FULL_last.json"
+        compact["grade"]["bucketed_ratio"] = "see BENCH_FULL_last.json"
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET:
+        compact["queries"] = "see BENCH_FULL_last.json"
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        skipped = compact["grade"].get("skipped", [])
+        if len(skipped) > 10:
+            compact["grade"]["skipped"] = skipped[:10] + [
+                f"+{len(skipped) - 10} more: see BENCH_FULL_last.json"
+            ]
+            line = dump()
+    return line
 
 
 def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[float]]:
@@ -506,12 +583,10 @@ def main() -> None:
             }
         if skipped:
             result["scale"]["skipped"] = skipped
-        # Compact grade block, LAST in the JSON on purpose: the driver's
-        # bench artifact keeps only the tail of stdout (BENCH_r06.json:
-        # 2000-char `tail`, `parsed: null`), so every graded number must
-        # live within the final ~2000 chars. Absolute DuckDB times are
-        # recoverable as spark/ratio; the full detail (reps sidecars)
-        # rides in BENCH_FULL_last.json next to this script.
+        # Grade block: graded ratios + the absolute Spark walls they were
+        # computed from. The sidecar keeps it all; stdout carries the
+        # ratio subset via build_compact_line (absolute DuckDB walls are
+        # recoverable there as spark/ratio).
         result["grade"] = {
             "spark": {q: round(v, 3) for q, v in spark_t.items()},
             "ratio": ratio,
@@ -527,7 +602,7 @@ def main() -> None:
 
     with open(os.path.join(REPO_DIR, "BENCH_FULL_last.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    print(build_compact_line(result))
     spark.stop()
 
 

@@ -61,3 +61,79 @@ def test_oracle_rep_count_tiers():
     assert bench._oracle_rep_count(bench.VERY_SLOW_ORACLE_S) == 2  # boundary: not yet very-slow
     assert bench._oracle_rep_count(bench.VERY_SLOW_ORACLE_S + 0.1) == 1
     assert bench._oracle_rep_count(48.0) == 1  # the sessionize shape
+
+
+def _grade_payload(n_queries=20, skipped=None):
+    """Representative full-result payload shaped like BENCH_FULL_last.json."""
+    queries = {f"query_name_of_typical_len_{i:02d}": 1.2345 for i in range(n_queries)}
+    return {
+        "metric": "headline_suite_total",
+        "value": 20.44,
+        "unit": "sec",
+        "stat": "median_of_warm_reps",
+        "sf": 0.1,
+        "queries": queries,
+        "queries_reps": {q: [1.2, 1.3, 1.2] for q in queries},
+        "scale": {"rows": {"lineitem": 60_000_000}},
+        "grade": {
+            "spark": dict(queries),
+            "ratio": {q: 1.042 for q in queries},
+            "ratio_median": 1.04,
+            "bucketed_spark": {"q3_shipping_priority": 1.5, "q5_local_supplier": 1.2},
+            "bucketed_ratio": {"q3_shipping_priority": 1.952, "q5_local_supplier": 1.687},
+            "variants": ["docs_minhash_candidates", "knn_pq_adc_top10", "semdedup_survivors"],
+            "skipped": skipped or [],
+        },
+        "elapsed_s": 744.1,
+    }
+
+
+def test_compact_line_fits_tail_budget_and_parses():
+    """VERDICT r8 task 2: the driver keeps a 2000-char stdout tail and
+    records parsed:null unless that tail is itself valid JSON. The whole
+    stdout is now ONE line under STDOUT_TAIL_BUDGET carrying the contract
+    keys plus every graded ratio."""
+    import json
+
+    line = bench.build_compact_line(_grade_payload())
+    assert len(line) <= bench.STDOUT_TAIL_BUDGET
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed  # the driver's documented stdout contract
+    assert parsed["grade"]["ratio_median"] == 1.04
+    assert parsed["grade"]["bucketed_ratio"]["q3_shipping_priority"] == 1.952
+    assert parsed["grade"]["skipped"] == []
+    # detail (rep spreads, absolute walls) is pointed at, not inlined
+    assert parsed["detail"] == "BENCH_FULL_last.json"
+    assert "queries_reps" not in parsed
+
+
+def test_compact_line_trim_ladder_under_pathological_skip_list():
+    """A budget-killed run can carry dozens of skipped labels; the trim
+    ladder must still produce a parseable line under budget rather than
+    silently regressing to parsed:null."""
+    import json
+
+    skipped = [f"duckdb:some_quite_long_query_name_{i:03d}" for i in range(40)]
+    payload = _grade_payload(n_queries=40, skipped=skipped)
+    line = bench.build_compact_line(payload)
+    assert len(line) <= bench.STDOUT_TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["grade"]["ratio_median"] == 1.04  # the headline survives
+    # skip flags survive, at worst truncated with an explicit pointer —
+    # never silently dropped
+    kept = parsed["grade"]["skipped"]
+    assert kept[:10] == skipped[:10]
+    assert kept == skipped or "see BENCH_FULL_last.json" in kept[-1]
+
+
+def test_compact_line_no_scale_phase():
+    import json
+
+    payload = _grade_payload()
+    del payload["grade"], payload["scale"]
+    payload["scale_skipped"] = "budget exhausted before scale phase"
+    line = bench.build_compact_line(payload)
+    parsed = json.loads(line)
+    assert parsed["scale_skipped"] == "budget exhausted before scale phase"
+    assert len(line) <= bench.STDOUT_TAIL_BUDGET
