@@ -188,13 +188,24 @@ def build_compact_line(result: dict) -> str:
     return line
 
 
-def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[float]]:
+def _median_reps(
+    run, warm_s, n_reps=3, force_reps=False, tail_k=None
+) -> tuple[float, list[float]]:
     """Median of warm timed reps (n_reps, or 2 once warm_s exceeds the
     slow cutoff — unless force_reps). Raw reps are returned for the JSON
     sidecar so a graded number can always be audited against its spread.
     Reps stop early when the remaining budget could not absorb another rep
     of this query's observed cost — a median of fewer warm reps beats a
     harness kill that loses the whole JSON line.
+
+    tail_k grades the median of the LAST k raw reps only (r8 task 3, the
+    bucketed phase): on this virtualized host the early reps of a freshly
+    (re)written file set still carry page-cache/IO settling that three
+    warm-ups don't fully absorb (six-run record in BASELINE.md round-8:
+    byte-identical plans swinging 1.69-2.39x), while the trailing reps
+    converge. All reps still ride in the sidecar, so the discarded head
+    is auditable, and a budget-truncated run falls back to whatever tail
+    exists.
 
     force_reps exists for the bucketed phase: its queries are ~1 s warm
     but the WARM-UP rep can exceed the slow cutoff when other jobs have
@@ -212,12 +223,13 @@ def _median_reps(run, warm_s, n_reps=3, force_reps=False) -> tuple[float, list[f
         t0 = time.perf_counter()
         run()
         raw.append(round(time.perf_counter() - t0, 4))
-    return round(statistics.median(raw), 4), raw
+    graded = raw[-tail_k:] if tail_k else raw
+    return round(statistics.median(graded), 4), raw
 
 
 def time_spark(
     specs, spark, data_dir, skipped=None, skip_label="spark", n_reps=3,
-    force_reps=False, bench_variant=False, n_warm=1,
+    force_reps=False, bench_variant=False, n_warm=1, tail_k=None,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
@@ -243,7 +255,7 @@ def time_spark(
         warm_s = time.perf_counter() - t0
         timings[name], raw_reps[name] = _median_reps(
             lambda: fn(spark, data_dir).count(), warm_s, n_reps,
-            force_reps=force_reps,
+            force_reps=force_reps, tail_k=tail_k,
         )
         print(
             f"# {name}: {timings[name]:.3f}s median of {raw_reps[name]}"
@@ -497,17 +509,22 @@ def main() -> None:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
             try:
-                # the two bucketed queries are ~1 s each: 5 reps cost ~4 s
-                # and harden the round's most bar-sensitive median
+                # the two bucketed queries are ~1 s each: 9 reps cost ~8 s
+                # against 450+ s of budget headroom, and grading the
+                # median of the LAST 5 drops the settling head that three
+                # warm-ups still leave on this host (r8 task 3; six-run
+                # 1.69-2.39x band on byte-identical plans). Raw 9-rep
+                # spreads stay in the sidecar for audit.
                 bspark_t, bspark_reps = time_spark(
                     bucket_specs,
                     spark,
                     SCALE_DIR,
                     skipped=skipped,
                     skip_label="spark-bucketed",
-                    n_reps=5,
+                    n_reps=9,
                     force_reps=True,
                     n_warm=3,
+                    tail_k=5,
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
@@ -519,6 +536,7 @@ def main() -> None:
             result["scale"]["bucketed"] = {
                 "spark": bspark_t,
                 "spark_reps": bspark_reps,
+                "stat": "median_of_last_5_of_9_warm_reps",
             }
         else:
             skipped.append("bucketed-phase:budget")

@@ -137,3 +137,43 @@ def test_compact_line_no_scale_phase():
     parsed = json.loads(line)
     assert parsed["scale_skipped"] == "budget exhausted before scale phase"
     assert len(line) <= bench.STDOUT_TAIL_BUDGET
+
+
+def test_median_reps_tail_k_grades_settled_tail(monkeypatch):
+    """r8 task 3: the bucketed phase grades the median of the LAST k reps
+    — the settling head stays in the sidecar but not in the grade."""
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    clock = {"now": 0.0}
+    # settling head (2.4, 1.7) then converged tail
+    deltas = iter([2.4, 1.7, 1.0, 0.95, 1.05, 0.9, 1.0, 0.98, 1.02])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(
+        lambda: None, warm_s=1.0, n_reps=9, force_reps=True, tail_k=5
+    )
+    assert len(raw) == 9  # full spread preserved for audit
+    # median of the last 5 ([1.05, 0.9, 1.0, 0.98, 1.02]) — the
+    # settling head (2.4, 1.7) is excluded from the grade
+    assert med == 1.0
+    assert raw[0] == 2.4  # ...but auditable in the sidecar spread
+
+
+def test_median_reps_tail_k_budget_truncation_falls_back(monkeypatch):
+    """A budget-truncated run grades whatever tail exists instead of
+    erroring on a short rep list."""
+    ran = {"n": 0}
+
+    def run():
+        ran["n"] += 1
+
+    monkeypatch.setattr(bench, "remaining", lambda: 5.0)
+    med, raw = bench._median_reps(run, warm_s=0.1, n_reps=9, force_reps=True, tail_k=5)
+    assert len(raw) == 1  # only the owed first rep fit the budget
+    assert med == raw[0]
