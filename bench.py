@@ -223,6 +223,21 @@ def _median_reps(
         t0 = time.perf_counter()
         run()
         raw.append(round(time.perf_counter() - t0, 4))
+    # 2-rep tie-breaker (round 9): a 2-rep "median" is a mean, so one
+    # pathological rep drags the grade arbitrarily far (observed this
+    # round: the minhash twin recorded [26.9, 134.7] under a degraded
+    # box state — graded 80.8 s, 4x its steady wall, and the excess
+    # starved the twin oracles out of the budget). When the two reps
+    # disagree by >2x and the budget can absorb another at the CHEAPER
+    # rep's cost, a third rep restores a true median.
+    if (
+        len(raw) == 2
+        and max(raw) > 2 * min(raw)
+        and remaining() > min(raw) + 30
+    ):
+        t0 = time.perf_counter()
+        run()
+        raw.append(round(time.perf_counter() - t0, 4))
     graded = raw[-tail_k:] if tail_k else raw
     return round(statistics.median(graded), 4), raw
 
@@ -263,6 +278,24 @@ def time_spark(
             file=sys.stderr,
         )
     return timings, raw_reps
+
+
+def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
+    """Twin-backed oracles FIRST (round 9): they are the rows the graded
+    artifact exists to measure (VERDICT r8 task 1) and they finish by
+    construction, while the 50-100x Spark-favoring blowouts (as-of 23 s,
+    sessionize 50 s) go last — a budget-shrunk cap there still records a
+    decisive lower bound (ratio < 0.1), but a skipped twin oracle loses a
+    graded deliverable (observed this round: a slow-box run reached the
+    alphabetically-last pq/semdedup oracles with <30 s left and recorded
+    duckdb:<name> skips instead of the measured ratios the twins were
+    built for)."""
+
+    def key(name: str) -> tuple[int, str]:
+        has_twin = bench_variant and specs[name].bench_oracle is not None
+        return (0 if has_twin else 1, name)
+
+    return sorted(specs, key=key)
 
 
 def time_duckdb(
@@ -310,7 +343,7 @@ def time_duckdb(
             timer.cancel()
         return time.perf_counter() - t0
 
-    for name in sorted(specs):
+    for name in oracle_pass_order(specs, bench_variant):
         sql = (
             (specs[name].bench_oracle or specs[name].oracle)
             if bench_variant

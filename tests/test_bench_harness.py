@@ -177,3 +177,88 @@ def test_median_reps_tail_k_budget_truncation_falls_back(monkeypatch):
     med, raw = bench._median_reps(run, warm_s=0.1, n_reps=9, force_reps=True, tail_k=5)
     assert len(raw) == 1  # only the owed first rep fit the budget
     assert med == raw[0]
+
+
+def test_median_reps_two_rep_tiebreaker_on_2x_disagreement(monkeypatch):
+    """r9: a 2-rep median is a mean, so one pathological rep (observed:
+    [26.9, 134.7] on a degraded box) distorts the grade. A >2x
+    disagreement triggers one tie-breaker rep when budget allows."""
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    clock = {"now": 0.0}
+    deltas = iter([26.9, 134.7, 27.3])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(lambda: None, warm_s=26.0)  # slow tier: 2 reps
+    assert len(raw) == 3  # tie-breaker ran
+    assert med == 27.3  # true median, not the 80.8 two-rep mean
+
+
+def test_median_reps_no_tiebreaker_when_reps_agree(monkeypatch):
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    clock = {"now": 0.0}
+    deltas = iter([26.9, 28.1])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(lambda: None, warm_s=26.0)
+    assert len(raw) == 2  # agreement: no extra rep spent
+
+
+def test_median_reps_no_tiebreaker_without_budget(monkeypatch):
+    """The tie-breaker costs the CHEAPER rep's time; without that much
+    budget left the distorted 2-rep median is still better than a kill."""
+    clock = {"now": 0.0}
+    deltas = iter([26.9, 134.7])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    # budget drains with the clock: enough for rep 2 (160-26.9 > 56.9),
+    # exhausted by the time the tie-breaker would fire (160-161.6 < 0)
+    monkeypatch.setattr(bench, "remaining", lambda: 160.0 - clock["now"])
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(lambda: None, warm_s=26.0)
+    assert len(raw) == 2  # no tie-breaker: budget could not absorb it
+    assert med == 80.8  # the distorted mean stands, auditable via raw
+
+
+def test_oracle_pass_order_twins_first():
+    """r9: the final oracle pass runs twin-backed oracles (finishable by
+    construction, the graded deliverable) before the Spark-favoring
+    blowouts whose capped lower bound is decisive anyway."""
+    from types import SimpleNamespace as NS
+
+    specs = {
+        "asof_join_purchase_click": NS(bench_oracle=None),
+        "semdedup_survivors": NS(bench_oracle="select 1"),
+        "events_sessionize": NS(bench_oracle=None),
+        "knn_pq_adc_top10": NS(bench_oracle="select 1"),
+        "docs_minhash_candidates": NS(bench_oracle="select 1"),
+    }
+    order = bench.oracle_pass_order(specs, bench_variant=True)
+    assert order == [
+        "docs_minhash_candidates",
+        "knn_pq_adc_top10",
+        "semdedup_survivors",
+        "asof_join_purchase_click",
+        "events_sessionize",
+    ]
+    # outside the scale phase (no twins engaged) the order stays plain
+    assert bench.oracle_pass_order(specs, bench_variant=False) == sorted(specs)
