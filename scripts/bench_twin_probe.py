@@ -8,10 +8,22 @@ against the scale cache, so the committed bounds stay measured facts
 - semdedup_survivors twin (128 k vectors, k=32, window-form kmeans CTE +
   norm-precomputed NOT EXISTS prune): 17.1 s — vs >60 s cap for the
   full-corpus chain; candidate sizes 34 k/48 k/64 k measured 4.4/5.0/7.1 s.
-- knn_pq_adc_top10 twin (500 k vectors, vec_id%7 sampled train,
-  minjoin/materialized argmin): 9.9 s — the window-form chain was
-  interrupted at >200 s even at 200 k; min(struct) hash-agg measured
-  126 s (rejected); the min-join rewrite A/B'd value-identical at 200 k.
+- knn_pq_adc_top10 twin (vec_id%mod sampled train, minjoin/materialized
+  argmin): 6.1 s at 100 k vectors, 9.9 s at 200 k, 146-151 s at 500 k —
+  the minjoin argmin is SUPERLINEAR in the corpus (2.5× rows → 15×
+  wall), so the committed bound is 100 replicas = 200 k vectors (the
+  smallest size keeping Spark's sampled-train + Arrow-encode scale path
+  engaged). A 250-replica bound briefly shipped on a 9.9 s record that
+  had actually been measured at 100 replicas; re-probing caught it.
+  The window-form chain was interrupted at >200 s even at 200 k;
+  min(struct) hash-agg measured 126 s (rejected); the min-join rewrite
+  A/B'd value-identical at 200 k.
+
+Box-state caveat (round 9): under host-level contention (load avg ~13
+with no local process >3% CPU) the heavy oracles measured 2-3× their
+quiet-box walls in one probe pass (semdedup 49 s, minhash 102 s) while
+a PQ-at-200 k probe minutes later read its quiet-box 9.9 s — treat any
+single probe reading against the cross-run bands in BASELINE.md.
 """
 
 from __future__ import annotations

@@ -49,18 +49,23 @@ _CTE = pq_oracle_cte(m_sub=M_SUB, sub_dim=SUB_DIM, k=K_CODES, iterations=ITERS)
 # SFs AND benchable at the 1 M-vector scale cache (80 s → ~8 s per rep).
 _ARROW_MIN_N = 100_000
 
-# Reduced-corpus bench twin bound (round 9, VERDICT r8 task 1): first 250
-# of the scale cache's 500 embedding replicas → 500 k vectors at the sf0.1
+# Reduced-corpus bench twin bound (round 9, VERDICT r8 task 1): first 100
+# of the scale cache's 500 embedding replicas → 200 k vectors at the sf0.1
 # cache, where the twin oracle below — same vec_id bound, same sampled
-# training set (mod = n//65536 = 7, the portable vec_id % mod predicate
+# training set (mod = n//65536 = 3, the portable vec_id % mod predicate
 # pq_train now shares), minjoin/materialized argmin formulation — MEASURED
-# 9.9 s vs the >200 s the full-corpus window-formulation chain needs even
-# at 200 k (scripts/bench_twin_probe.py). 500 k keeps the Spark side on
-# its genuine scale path: sampled train + Arrow matmul encode both stay
-# engaged (n ≥ _ARROW_MIN_N). On driver testdata vec_id < KEY_STRIDE, so
-# the filter is a no-op, the SQL mod expression degrades to 1, and
-# bench_oracle ≡ oracle value-for-value (tests/test_bench_variants.py).
-_BENCH_REPLICA_CAP = 250
+# 9.9 s (re-probed same-session at two sizes: 6.1 s at 100 k, 9.9 s at
+# 200 k, 146-151 s at 500 k — the minjoin argmin is SUPERLINEAR in the
+# corpus, 2.5× rows → 15× wall, so 500 k sails past any defensible
+# watchdog cap; an earlier 250-replica bound shipped on a 9.9 s record
+# that had actually been measured at 100 replicas). 200 k is the
+# smallest size that keeps the Spark side on its genuine scale path:
+# sampled train needs n//65536 ≥ 2 (n ≥ 131 072) to engage, and the
+# Arrow matmul encode needs n ≥ _ARROW_MIN_N. On driver testdata
+# vec_id < KEY_STRIDE, so the filter is a no-op, the SQL mod expression
+# degrades to 1, and bench_oracle ≡ oracle value-for-value
+# (tests/test_bench_variants.py).
+_BENCH_REPLICA_CAP = 100
 _BENCH_VEC_BOUND = _BENCH_REPLICA_CAP * KEY_STRIDE
 # pq_train_sample_mod(n) as SQL, evaluated against CTE nn's count n —
 # gated on _ARROW_MIN_N exactly like _encoded_codes' sample_mod switch.
@@ -147,12 +152,13 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array element_at per subspace, map-only scan, TakeOrderedAndProject "
     "top-k. This is exactly FAISS's IndexPQ search loop, declaratively. "
     "At 100 TB the codes table is the only thing scanned: 8 bytes/vector. "
-    "bench (round 9): the graded row runs the 500 k-vector reduced-corpus "
-    "twin on BOTH engines — same vec_id bound, same vec_id%7 training "
+    "bench (round 9): the graded row runs the 200 k-vector reduced-corpus "
+    "twin on BOTH engines — same vec_id bound, same vec_id%3 training "
     "sample, same train→encode→ADC recipe; the twin oracle's minjoin/"
     "materialized argmin (value-identical to the window form, A/B'd) is "
     "what lets DuckDB finish, replacing the capped lower bound with a "
-    "measured ratio (9.9 s at 500 k; scripts/bench_twin_probe.py).",
+    "measured ratio (9.9 s at 200 k; the minjoin is superlinear in the "
+    "corpus — see _BENCH_REPLICA_CAP's sizing record).",
     tags=("vectors", "knn", "quantize", "pq"),
     bench=True,
     bench_heavy=True,
