@@ -11,9 +11,14 @@ measured the stream-stream-join twins at ~29 s under the driver's default
 _bounded_state_partitions guard in streaming/jobs.py pins state partitions
 to the core count and brought them to ~3 s.
 
-Budget: 10 s per query at sf0.01 — 2-4× the quiet-box measurements, tight
-enough that a regression back to unpinned state partitions (or a new
-accidentally-quadratic twin) trips immediately.
+Budget: 20 s per query at sf0.01. Calibration history: round-3 quiet-box
+measurements ~3 s → budget 10 s; round 9 re-measured the stream-stream
+twin at 10-15 s per rep ON AN IDLE BOX (vmstat 100% idle, state
+partitions confirmed pinned at 32 — no regression, the host's IO/fsync
+latency itself had drifted ~3×), so 10 s false-positived. 20 s still
+trips decisively on the guarded failure modes: unpinned state partitions
+measured 29 s on a QUIET box (round 3) and would land far above 20 s on
+any box state this repo has recorded.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ import pytest
 from transilien_api_etl_spark import plans
 
 SF = "/root/testdata/sf0.01"
-BUDGET_S = 10.0
+BUDGET_S = 20.0
 
 HAZARD_QUERIES = [
     # availableNow streaming twins: checkpoint + state-store cost
