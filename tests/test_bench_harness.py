@@ -139,9 +139,9 @@ def test_compact_line_no_scale_phase():
     assert len(line) <= bench.STDOUT_TAIL_BUDGET
 
 
-def test_median_reps_tail_k_grades_settled_tail(monkeypatch):
-    """r8 task 3: the bucketed phase grades the median of the LAST k reps
-    — the settling head stays in the sidecar but not in the grade."""
+def test_median_reps_steady_k_drops_settling_head(monkeypatch):
+    """r8 task 3's original case: a settling head before a converged tail
+    — steady-3 grades the converged level, head stays in the sidecar."""
     monkeypatch.setattr(bench, "remaining", lambda: 1e9)
     clock = {"now": 0.0}
     # settling head (2.4, 1.7) then converged tail
@@ -156,25 +156,38 @@ def test_median_reps_tail_k_grades_settled_tail(monkeypatch):
 
     monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
     med, raw = bench._median_reps(
-        lambda: None, warm_s=1.0, n_reps=9, force_reps=True, tail_k=5
+        lambda: None, warm_s=1.0, n_reps=9, force_reps=True, steady_k=3
     )
     assert len(raw) == 9  # full spread preserved for audit
-    # median of the last 5 ([1.05, 0.9, 1.0, 0.98, 1.02]) — the
-    # settling head (2.4, 1.7) is excluded from the grade
-    assert med == 1.0
+    # min over 3-windows of the window median: the converged tail's
+    # cleanest window ([0.95, 1.05, 0.9] -> 0.95) sets the grade
+    assert med == 0.95
     assert raw[0] == 2.4  # ...but auditable in the sidecar spread
 
 
-def test_median_reps_tail_k_budget_truncation_falls_back(monkeypatch):
-    """A budget-truncated run grades whatever tail exists instead of
-    erroring on a short rep list."""
+def test_median_reps_steady_k_survives_midphase_storm():
+    """Round-9 run 7 regression: a host interference storm hit the TAIL
+    of the bucketed phase, so the r8 last-5 median graded 2.54 s where
+    the steady wall (0.84-0.85, reproduced in reps 2 and 4) was the
+    honest number. steady-3 requires no ordering assumption."""
+    raw = [2.16, 0.84, 1.16, 0.84, 1.93, 2.90, 2.54, 2.46, 3.19]
+    assert bench._steady_median(raw, 3) == 0.84  # window [0.84, 1.16, 0.84]
+    # and a single fast outlier cannot set the grade on its own:
+    assert bench._steady_median([2.0, 0.1, 2.1, 2.2, 2.05], 3) == 2.0
+
+
+def test_median_reps_steady_k_budget_truncation_falls_back(monkeypatch):
+    """A budget-truncated run grades the plain median of whatever reps
+    exist instead of erroring on a short rep list."""
     ran = {"n": 0}
 
     def run():
         ran["n"] += 1
 
     monkeypatch.setattr(bench, "remaining", lambda: 5.0)
-    med, raw = bench._median_reps(run, warm_s=0.1, n_reps=9, force_reps=True, tail_k=5)
+    med, raw = bench._median_reps(
+        run, warm_s=0.1, n_reps=9, force_reps=True, steady_k=3
+    )
     assert len(raw) == 1  # only the owed first rep fit the budget
     assert med == raw[0]
 
