@@ -255,3 +255,31 @@ def test_bucketed_join_results_match_plain(spark, bucketed_facts):
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_served_bucketed_scoping(spark, tmp_path_factory):
+    """served_bucketed is the layout probe plan functions branch on (round
+    9: q3/q5 pick their join order by it), so its scoping must be exact:
+    every named table listed in the conf AND the dir matching, else False."""
+    from transilien_api_etl_spark.io import (
+        BUCKETED_DIR_CONF,
+        BUCKETED_TABLES_CONF,
+        served_bucketed,
+    )
+
+    prev_t = spark.conf.get(BUCKETED_TABLES_CONF, "")
+    prev_d = spark.conf.get(BUCKETED_DIR_CONF, "")
+    try:
+        spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+        spark.conf.set(BUCKETED_DIR_CONF, SF)
+        assert served_bucketed(spark, SF, "lineitem", "orders")
+        assert served_bucketed(spark, SF + "/", "lineitem")  # path-normalized
+        # any table NOT in the conf list defeats the whole group
+        assert not served_bucketed(spark, SF, "lineitem", "customer")
+        # a different source dir must not be served the bucketed rows
+        assert not served_bucketed(spark, "/root/testdata/sf0.01", "lineitem")
+        spark.conf.set(BUCKETED_DIR_CONF, "")
+        assert not served_bucketed(spark, SF, "lineitem")  # dir conf mandatory
+    finally:
+        spark.conf.set(BUCKETED_TABLES_CONF, prev_t)
+        spark.conf.set(BUCKETED_DIR_CONF, prev_d)

@@ -210,6 +210,23 @@ BUCKETED_TABLES_CONF = "spark.graft.bucketedTables"
 BUCKETED_DIR_CONF = "spark.graft.bucketedTables.dir"
 
 
+def served_bucketed(spark: SparkSession, sf_dir: str, *names: str) -> bool:
+    """True when load_table would serve EVERY ``names`` table from the
+    co-bucketed at-rest layout for this ``sf_dir``.
+
+    Plan functions use this the way a cost-based optimizer uses physical
+    layout info: some join orders are only right for one layout (measured
+    round 9, q3 at 60 M rows: dim-filter-first wins on the plain layout
+    where it shrinks the shuffle 5×, but costs +26% on the co-bucketed
+    layout where there IS no shuffle and the fact⋈fact join is the
+    cheapest first reducer)."""
+    bucketed = {t for t in (spark.conf.get(BUCKETED_TABLES_CONF, "") or "").split(",") if t}
+    if not set(names) <= bucketed:
+        return False
+    bdir = spark.conf.get(BUCKETED_DIR_CONF, "") or ""
+    return bool(bdir) and os.path.abspath(bdir) == os.path.abspath(sf_dir)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with a declared schema (S1); catalog-bucketed override.
 
@@ -220,11 +237,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exchanges vanish (tests/test_bucketed_join.py gates both the
     zero-Exchange property and the dataset scoping).
     """
-    bucketed = spark.conf.get(BUCKETED_TABLES_CONF, "") or ""
-    if name in {t for t in bucketed.split(",") if t}:
-        bdir = spark.conf.get(BUCKETED_DIR_CONF, "") or ""
-        if bdir and os.path.abspath(bdir) == os.path.abspath(sf_dir):
-            return spark.table(f"{name}_bucketed")
+    if served_bucketed(spark, sf_dir, name):
+        return spark.table(f"{name}_bucketed")
     path = table_path(sf_dir, name)
     if name == "events" and _events_ts_is_nanos(path):
         # Session invariant (also pinned in build_session/ensure_query_confs):

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import load_table, served_bucketed
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 
@@ -89,14 +89,26 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    # Join order matters without CBO stats: the broadcast dim filter
-    # (mktsegment keeps ~1/5 of customers) must shrink orders BEFORE the
-    # fact-fact shuffle join, so the shuffled build side is 5× smaller.
-    # Catalyst won't reorder this itself absent column statistics.
+    # Join order matters without CBO stats, and the right order depends on
+    # the PHYSICAL layout (measured round 9 at 60 M rows, steady-3):
+    # - plain parquet: the broadcast dim filter (mktsegment keeps ~1/5 of
+    #   customers) must shrink orders BEFORE the fact-fact shuffle join,
+    #   so the shuffled build side is 5× smaller (1.62 s vs 2.02 s).
+    # - co-bucketed facts: there IS no fact-fact exchange, so the
+    #   most selective filter (l_shipdate keeps ~5% of lineitem) makes
+    #   the co-located fact⋈fact join the cheapest first reducer, and the
+    #   customer broadcast probes its ~20× smaller output (0.66 s vs
+    #   0.83 s). Catalyst reorders neither absent column statistics.
+    if served_bucketed(spark, sf_dir, "lineitem", "orders"):
+        joined = line.join(orders, line.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+    else:
+        joined = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).join(line, line.l_orderkey == orders.o_orderkey)
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(line, line.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -138,15 +150,28 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     # Scale-aware join order (no CBO stats to do it for us): pin supplier to
     # the ASIA region via the tiny broadcast chain region→nation→supplier
-    # first, then broadcast THAT into lineitem — the only shuffled join left
-    # (lineitem⋈orders) carries ~1/5 of lineitem instead of all of it.
+    # first. Where that broadcast lands depends on the layout (measured
+    # round 9 at 60 M rows, steady-3):
+    # - plain parquet: broadcast supp_asia into lineitem BEFORE the
+    #   fact-fact shuffle — the only shuffled join left (lineitem⋈orders)
+    #   then carries ~1/5 of lineitem instead of all of it.
+    # - co-bucketed facts: no fact-fact exchange exists, so the co-located
+    #   lineitem⋈orders join (orders pre-filtered to one year, ~1/6) goes
+    #   first and the supplier broadcast probes its smaller output
+    #   (0.63 s vs 0.73 s).
     supp_asia = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     )
+    if served_bucketed(spark, sf_dir, "lineitem", "orders"):
+        joined = line.join(orders, line.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(supp_asia), line.l_suppkey == supp_asia.s_suppkey
+        )
+    else:
+        joined = line.join(
+            F.broadcast(supp_asia), line.l_suppkey == supp_asia.s_suppkey
+        ).join(orders, line.l_orderkey == orders.o_orderkey)
     return (
-        line.join(F.broadcast(supp_asia), line.l_suppkey == supp_asia.s_suppkey)
-        .join(orders, line.l_orderkey == orders.o_orderkey)
-        .join(
+        joined.join(
             F.broadcast(cust),
             (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp_asia.s_nationkey),
         )
