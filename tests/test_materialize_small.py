@@ -60,3 +60,37 @@ def test_cached_row_count_scans_once_per_dir_table(spark, monkeypatch):
     # a different table is a different entry
     io_mod.cached_row_count(spark, "/root/testdata/sf0.001", "documents")
     assert calls["n"] == 2
+
+
+def test_cached_query_embedding_scans_once_and_matches_table(spark, monkeypatch):
+    """Round 9: the kNN queries' query vector (embedding of vec_id 0) is a
+    request parameter derived from the table — memoized per (dir, vec_id,
+    mtime) so driver-side ANN queries don't pay a scan-job per invocation.
+    The cached value must be exactly the table's row, and an absent vec_id
+    must return None (callers emit the oracle-equivalent empty result)."""
+    from pyspark.sql import functions as F
+
+    from transilien_api_etl_spark import io as io_mod
+
+    sf = "/root/testdata/sf0.001"
+    expected = [
+        float(x)
+        for x in io_mod.load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+
+    calls = {"n": 0}
+    real_load = io_mod.load_table
+
+    def counting_load(spark_, sf_dir, name):
+        calls["n"] += 1
+        return real_load(spark_, sf_dir, name)
+
+    monkeypatch.setattr(io_mod, "load_table", counting_load)
+    io_mod._QUERY_VEC_CACHE.clear()
+    v1 = io_mod.cached_query_embedding(spark, sf, vec_id=0)
+    v2 = io_mod.cached_query_embedding(spark, sf + "/", vec_id=0)
+    assert v1 == v2 == expected
+    assert calls["n"] == 1
+    assert io_mod.cached_query_embedding(spark, sf, vec_id=-12345) is None

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.io import (
     cached_bounded_count,
+    cached_query_embedding,
     cached_row_count,
     load_table,
 )
@@ -198,10 +199,9 @@ def _adc_top10(
 ) -> DataFrame:
     ensure_query_confs(spark)
     emb, books, enc = _encoded_codes(spark, sf_dir, vec_bound)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # no query vector: empty result, same as the oracle
+    qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
+    if qvec is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, adc_d2 double")
-    qvec = [float(x) for x in qrow[0]]
     luts = adc_luts(books, qvec, SUB_DIM)
     return (
         enc.filter(F.col("vec_id") != 0)

@@ -21,7 +21,7 @@ from transilien_api_etl_spark.functions.vectors import (
     dot,
     l2_norm,
 )
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import cached_query_embedding, load_table
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 
@@ -84,10 +84,9 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential-accumulation form is what wins; see BASELINE.md.
     # Map-only into TakeOrderedAndProject; query vector is dim doubles
     # in the task closure.
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # no query vector: empty result, same as the oracle
+    qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
+    if qvec is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, cos_sim double")
-    qvec = [float(x) for x in qrow[0]]
     qn = 0.0
     for x in qvec:  # same sequential fold as l2_norm
         qn += x * x
