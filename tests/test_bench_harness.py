@@ -55,8 +55,12 @@ def test_median_reps_stops_when_budget_cannot_absorb_another_rep(monkeypatch):
 def test_oracle_rep_count_tiers():
     """Round-8 tier: oracles past the 20 s warm cutoff get ONE timed rep
     (50-100x Spark blowouts where extra reps cost ~70 s of budget for
-    no ratio precision); the 5 s slow tier and the 3-rep default stand."""
-    assert bench._oracle_rep_count(0.5) == 3
+    no ratio precision); the 5 s slow tier stands. Round 9: the fast
+    tier takes 5 reps (graded steady-3) — the identical estimator and
+    rep count as the Spark scale light rows, so the steady estimator's
+    downward bias cancels in the graded ratio instead of favoring the
+    Spark numerator."""
+    assert bench._oracle_rep_count(0.5) == 5
     assert bench._oracle_rep_count(bench.SLOW_QUERY_CUTOFF_S + 0.1) == 2
     assert bench._oracle_rep_count(bench.VERY_SLOW_ORACLE_S) == 2  # boundary: not yet very-slow
     assert bench._oracle_rep_count(bench.VERY_SLOW_ORACLE_S + 0.1) == 1

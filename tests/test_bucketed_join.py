@@ -257,7 +257,7 @@ def test_bucketed_join_results_match_plain(spark, bucketed_facts):
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
 
 
-def test_served_bucketed_scoping(spark, tmp_path_factory):
+def test_served_bucketed_scoping(spark):
     """served_bucketed is the layout probe plan functions branch on (round
     9: q3/q5 pick their join order by it), so its scoping must be exact:
     every named table listed in the conf AND the dir matching, else False."""

@@ -265,6 +265,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
+def _table_mtime(sf_dir: str, name: str) -> int:
+    """st_mtime_ns of ``<sf_dir>/<name>.parquet`` (-1 when absent) — the
+    shared freshness component of every derived-constant cache key below.
+    One definition so a future invalidation fix cannot silently miss one
+    of the caches (code-review round 9: three hand-rolled copies)."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
 def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count memoized per (dir, table, table mtime). The mtime in the
     key is the invalidation (ADVICE r8): a same-named dir whose contents
@@ -274,12 +286,7 @@ def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     mtime changes whenever files inside it are (re)written, and
     materialize_scale replaces single-file tables wholesale, so the stat
     is a sound freshness proxy either way."""
-    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (os.path.abspath(sf_dir), name, mtime)
+    key = (os.path.abspath(sf_dir), name, _table_mtime(sf_dir, name))
     if key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
     return _ROW_COUNT_CACHE[key]
@@ -296,12 +303,7 @@ def cached_bounded_count(
     (dir, bound, mtime)."""
     from pyspark.sql import functions as F
 
-    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (os.path.abspath(sf_dir), name, id_col, bound, mtime)
+    key = (os.path.abspath(sf_dir), name, id_col, bound, _table_mtime(sf_dir, name))
     if key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[key] = (
             load_table(spark, sf_dir, name).filter(F.col(id_col) < bound).count()
@@ -327,12 +329,7 @@ def cached_query_embedding(
     reads is immutable once materialized, and a rewrite bumps the
     parquet directory's mtime. Returns None when the vec_id is absent
     (callers emit the oracle-equivalent empty result)."""
-    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
-    key = (os.path.abspath(sf_dir), vec_id, mtime)
+    key = (os.path.abspath(sf_dir), vec_id, _table_mtime(sf_dir, "embeddings"))
     if key not in _QUERY_VEC_CACHE:
         from pyspark.sql import functions as F
 

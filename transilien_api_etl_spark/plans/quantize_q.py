@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transilien_api_etl_spark.functions.vectors import dot, l2_norm
-from transilien_api_etl_spark.io import load_table
+from transilien_api_etl_spark.io import cached_query_embedding, load_table
 from transilien_api_etl_spark.operators.quantize import (
     sq8_cosine_arrow,
     sq8_dequant_expr,
@@ -122,10 +122,9 @@ def knn_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = sq8_stats_model(emb)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # no query vector: empty result, same as the oracle
+    qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
+    if qvec is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, cos_q8 double")
-    qvec = [float(x) for x in qrow["embedding"]]
     qn = 0.0
     for x in qvec:  # same sequential fold as l2_norm / list_inner_product
         qn += x * x
@@ -199,10 +198,9 @@ def knn_ivf_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     mins, maxs = sq8_stats_model(emb)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # no query vector: empty result, same as the oracle
+    qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
+    if qvec is None:  # no query vector: empty result, same as the oracle
         return spark.createDataFrame([], "vec_id long, cos_q8 double")
-    qvec = [float(x) for x in qrow["embedding"]]
     qn = 0.0
     for x in qvec:
         qn += x * x
