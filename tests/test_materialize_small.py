@@ -94,3 +94,49 @@ def test_cached_query_embedding_scans_once_and_matches_table(spark, monkeypatch)
     assert v1 == v2 == expected
     assert calls["n"] == 1
     assert io_mod.cached_query_embedding(spark, sf, vec_id=-12345) is None
+
+
+def test_in_place_rewrite_of_dir_table_misses_memo(spark, tmp_path):
+    """VERDICT r9 task 6: a parquet DIRECTORY's own mtime does not change
+    when a file inside it is rewritten in place (POSIX bumps dir mtime on
+    entry add/remove/rename only), so a freshness token derived from the
+    dir stat alone would serve a stale memoized count after a scale-cache
+    part file is overwritten same-named. The token must move even when
+    BOTH the dir's and the inner file's mtimes are pinned back to their
+    pre-rewrite values (the same-second-rewrite case): file count + total
+    bytes + max file mtime catches it via the size component."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transilien_api_etl_spark import io as io_mod
+
+    sf = str(tmp_path)
+    table_dir = tmp_path / "region.parquet"
+    table_dir.mkdir()
+    part = table_dir / "part-0.parquet"
+
+    def write_rows(n):
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array(range(n), pa.int32()),
+                    "r_name": pa.array([f"R{i}" for i in range(n)]),
+                    "r_comment": pa.array(["x"] * n),
+                }
+            ),
+            part,
+        )
+
+    write_rows(100)
+    dir_stat = os.stat(table_dir)
+    file_stat = os.stat(part)
+    io_mod._ROW_COUNT_CACHE.clear()
+    assert io_mod.cached_row_count(spark, sf, "region") == 100
+
+    write_rows(37)  # in-place rewrite, same file name
+    # Adversarial clock: pin both mtimes back to the pre-rewrite values.
+    os.utime(part, ns=(file_stat.st_atime_ns, file_stat.st_mtime_ns))
+    os.utime(table_dir, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert io_mod.cached_row_count(spark, sf, "region") == 37

@@ -265,16 +265,42 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 _ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _table_mtime(sf_dir: str, name: str) -> int:
-    """st_mtime_ns of ``<sf_dir>/<name>.parquet`` (-1 when absent) — the
-    shared freshness component of every derived-constant cache key below.
-    One definition so a future invalidation fix cannot silently miss one
-    of the caches (code-review round 9: three hand-rolled copies)."""
+def _table_mtime(sf_dir: str, name: str) -> tuple:
+    """Freshness token for ``<sf_dir>/<name>.parquet`` — the shared
+    component of every derived-constant cache key below. One definition so
+    a future invalidation fix cannot silently miss one of the caches
+    (code-review round 9: three hand-rolled copies).
+
+    For a single-file table: (mtime_ns, size). For a DIRECTORY table the
+    directory's own mtime is NOT sufficient (VERDICT r9 task 6): POSIX
+    bumps a dir's mtime on entry add/remove/rename, but rewriting a file
+    IN PLACE inside it leaves the dir stat untouched — a scale cache
+    rebuilt by a script that overwrites part files same-named would then
+    serve a stale memoized count/vector. So a dir tokenizes as
+    (file count, total bytes, max file mtime_ns) over its entries —
+    any in-place rewrite moves at least one of the three."""
     path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
     try:
-        return os.stat(path).st_mtime_ns
+        st = os.stat(path)
     except OSError:
-        return -1
+        return (-1,)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    count, total, max_ns = 0, 0, -1
+    try:
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    est = entry.stat()
+                except OSError:
+                    continue
+                count += 1
+                total += est.st_size
+                if est.st_mtime_ns > max_ns:
+                    max_ns = est.st_mtime_ns
+    except OSError:
+        return (st.st_mtime_ns,)
+    return (count, total, max_ns)
 
 
 def cached_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
