@@ -35,14 +35,36 @@ interference storms, which a plain or tail median each mis-grade, and
 symmetric so the estimator's small downward bias cancels in the ratio
 (see _steady_median). Slower rows keep magnitude-decided medians: 2 reps
 past the 5 s cutoff, DuckDB additionally 1 past the 20 s very-slow tier
-(those ratios are 2-100× blowouts where estimator choice is noise). The
-bucketed rows take 9 reps graded steady-5. Raw reps ride in ``*_reps``
-sidecar fields so any graded number can be audited against its spread
-(VERDICT r5 task 1: single-shot grading recorded 2× phantom regressions
-on sub-second queries). Each rep
-times the query end-to-end including its action (count of the
-materialized result — collect would measure Arrow transfer, which is the
-caller's cost, not the plan's).
+(those ratios are 2-100× blowouts where estimator choice is noise). A
+force_reps light row whose warm AND first timed rep both exceed the
+cutoff falls back to the same 2-rep tier (ADVICE r9: the tiers must
+diverge on neither side). Raw reps ride in ``*_reps`` sidecar fields so
+any graded number can be audited against its spread (VERDICT r5 task 1:
+single-shot grading recorded 2× phantom regressions on sub-second
+queries). Each rep times the query end-to-end including its action
+(count of the materialized result — collect would measure Arrow
+transfer, which is the caller's cost, not the plan's).
+
+PER-REP PAIRED grading (round 10, VERDICT r9 tasks 1+2): the
+bar-sensitive sub-second rows — plain+bucketed q3/q5 and the three
+jitter-hovering light rows — are graded as the steady-window estimator
+over PER-REP quotients spark_i/duck_i, with the two engines' reps
+ALTERNATED in time (Spark rep i immediately followed by oracle rep i).
+A host interference storm then lands on BOTH sides of the same quotient
+and cancels, instead of skewing whichever engine's median it happened to
+hit — this same-moment pairing is what absorbed a 2× degraded box in
+round 9 run 10 (bucketed ratios 1.006/1.003) and run 7's mid-run storm
+(2.54 s graded vs 0.84 s steady). Both sides use the identical rep count
+and estimator by construction (ADVICE r9: 5-of-9 over 3-of-5 no longer
+cancels); the bucketed rows pair at 9 reps steady-5, the light rows at
+5 reps steady-3. Query-vector symmetry (ADVICE r9, medium): Spark's kNN
+plans embed the query vector as a task-closure literal populated by an
+UNTIMED memo (io.cached_query_embedding), so the matching DuckDB lookup
+is hoisted out of the timed reps too — q_vec is materialized once,
+untimed, per connection, and the oracle's q-CTE is rewritten to read it
+(QVEC_HOIST; value-identical, tests/test_bench_qvec_hoist.py). The PQ
+twin keeps its inline q_m{m} lookups: they read an already-MATERIALIZED
+200 k-row CTE inside a ~10 s oracle (<2%), below the jitter floor.
 
 Phase-2 internal order (round 8, VERDICT r7 task 1): light Spark rows →
 bucketed phase → bench_heavy Spark rows → DuckDB oracles (light, then
@@ -117,6 +139,101 @@ SLOW_QUERY_CUTOFF_S = 5.0
 VERY_SLOW_ORACLE_S = 20.0
 
 
+# The rows graded by the per-rep paired protocol (see module docstring):
+# the two bar-graded TPC-H rows (plain layout here; their bucketed twins
+# pair inside the bucketed phase) plus the three light rows whose
+# sub-0.26 s walls hovered at 1.8-1.9× under ratio-of-medians grading on
+# a host with a measured ±30-50% jitter floor (VERDICT r9 task 2).
+PAIRED_ROWS = (
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "docs_token_stats",
+    "topk_orders_per_customer",
+    "docs_word_freq_top20",
+)
+
+# One-line pointer from the grade block to the measured plain-q3/q5
+# amortization curve (VERDICT r9 task 3) — set once the curve is recorded
+# in BASELINE.md; None suppresses the field.
+PLAIN_NOTE: str | None = None
+
+# Query-vector hoist (ADVICE r9, medium): Spark's kNN plans read the
+# query embedding from an untimed mtime-keyed memo and carry it as a task-
+# closure literal, so a DuckDB oracle that re-derives the same vector
+# INSIDE its timed SQL pays a scan the numerator doesn't — up to ~50% of
+# the sub-second knn_cosine denominator. Symmetric treatment: q_vec is
+# materialized once per connection (untimed, _duck_connect), and the
+# oracle's q-CTE is rewritten to read it by EXACT-string replacement —
+# _hoist_qvec raises if a listed row's marker drifted, so an oracle edit
+# fails loudly instead of silently regressing to the asymmetric form.
+# Value-identical by construction (the CTE body moved verbatim into the
+# temp table); asserted on real data by tests/test_bench_qvec_hoist.py.
+# knn_pq_adc_top10 is deliberately NOT listed: its q_m{m} lookups read an
+# already-MATERIALIZED per-subspace CTE inside a ~10 s oracle (<2%).
+QVEC_SETUP = (
+    "CREATE OR REPLACE TEMP TABLE q_vec AS "
+    "SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0"
+)
+QVEC_HOIST = {
+    "knn_cosine_top10": (
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+    ),
+    "knn_sq8_top10": "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+}
+QVEC_REPLACEMENT = "q AS (SELECT qv FROM q_vec)"
+
+
+def _hoist_qvec(name: str, sql: str) -> str:
+    marker = QVEC_HOIST.get(name)
+    if marker is None:
+        return sql
+    if marker not in sql:
+        raise RuntimeError(
+            f"{name}: query-vector hoist marker not found — the oracle SQL "
+            "drifted; update QVEC_HOIST or the grading regresses to the "
+            "asymmetric (ADVICE r9) form"
+        )
+    return sql.replace(marker, QVEC_REPLACEMENT)
+
+
+def _duck_connect(data_dir: str):
+    """One DuckDB connection over views of the same parquet Spark reads,
+    with the q_vec hoist table materialized untimed (see QVEC_HOIST)."""
+    import duckdb
+
+    con = duckdb.connect()
+    # Keep DuckDB's spill files OUT of the repo: an in-memory connection's
+    # temp_directory defaults to ./.tmp of the CWD, and a watchdog-capped
+    # oracle can spill GBs before the interrupt lands (the r8 triangle
+    # OOM left 9.4 GB under the repo before its MATERIALIZED fix).
+    con.execute("SET temp_directory='/tmp/duckdb_bench_spill.tmp'")
+    for t in TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con.execute(QVEC_SETUP)
+    return con
+
+
+def _guarded_run(con, sql: str, cap: float) -> float | None:
+    """One watchdogged execution; returns elapsed or None on interrupt."""
+    import threading
+
+    import duckdb
+
+    timer = threading.Timer(cap, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+    except duckdb.Error:
+        return None
+    finally:
+        timer.cancel()
+    return time.perf_counter() - t0
+
+
 def _oracle_rep_count(warm_s: float) -> int:
     # Fast tier takes 5 reps graded steady-3 — the SAME rep count and
     # estimator as the Spark scale light rows (code-review round 9: a
@@ -165,9 +282,13 @@ def build_compact_line(result: dict) -> str:
             "ratio": grade.get("ratio", {}),
             "ratio_median": grade.get("ratio_median"),
             "bucketed_ratio": grade.get("bucketed_ratio", {}),
+            "paired": grade.get("paired", []),
+            "qvec_hoist": grade.get("qvec_hoist", []),
             "variants": grade.get("variants", []),
             "skipped": grade.get("skipped", []),
         }
+        if grade.get("plain_note"):
+            compact["grade"]["plain_note"] = grade["plain_note"]
     elif "scale_skipped" in result:
         compact["scale_skipped"] = result["scale_skipped"]
 
@@ -177,6 +298,11 @@ def build_compact_line(result: dict) -> str:
     line = dump()
     if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
         compact["grade"].pop("variants", None)
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        # protocol annotations compress to counts before any ratio is lost
+        compact["grade"]["paired"] = len(grade.get("paired", []))
+        compact["grade"]["qvec_hoist"] = len(grade.get("qvec_hoist", []))
         line = dump()
     if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
         for key in ("ratio", "bucketed_ratio"):
@@ -247,17 +373,34 @@ def _median_reps(
     evicted the bucketed files from the page cache (observed round 7:
     warm 5+ s → only 2 timed reps → the suite's most bar-sensitive
     median decided by 2 samples). The cutoff protects against
-    multi-second QUERIES, not cold caches, so the caller that knows its
-    queries are sub-second keeps its full rep count."""
+    multi-second QUERIES, not cold caches — a cold cache shows as a slow
+    WARM-UP followed by fast timed reps. When the warm rep AND the first
+    timed rep BOTH exceed the cutoff the row is genuinely slow, not
+    cold, and it falls back to the same 2-rep plain-median tier its
+    DuckDB denominator uses (ADVICE r9: force_reps previously pinned
+    such a row to 5 reps steady-3 over a 2-rep oracle mean — a tier
+    where the estimators diverge). The >2× tie-breaker below still
+    applies to the fallback, on both sides alike: a 2-rep "median" is a
+    mean, and one storm rep otherwise drags the grade arbitrarily far."""
     if not force_reps:
         n_reps = 2 if warm_s > SLOW_QUERY_CUTOFF_S else n_reps
     raw = []
-    for _ in range(n_reps):
+    while len(raw) < n_reps:
         if raw and remaining() < max(raw) + 30:
             break
         t0 = time.perf_counter()
         run()
         raw.append(round(time.perf_counter() - t0, 4))
+        if (
+            force_reps
+            and len(raw) == 1
+            and warm_s > SLOW_QUERY_CUTOFF_S
+            and raw[0] > SLOW_QUERY_CUTOFF_S
+        ):
+            # Genuinely slow (warm + first timed rep both over the
+            # cutoff): match the oracle side's 2-rep plain-median tier.
+            n_reps = 2
+            steady_k = None
     # 2-rep tie-breaker (round 9): a 2-rep "median" is a mean, so one
     # pathological rep drags the grade arbitrarily far (observed this
     # round: the minhash twin recorded [26.9, 134.7] under a degraded
@@ -342,7 +485,7 @@ def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
 
 
 def time_duckdb(
-    specs, data_dir, skipped=None, bench_variant=False
+    specs, data_dir, skipped=None, bench_variant=False, con=None
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Run each query's oracle SQL on DuckDB views over the same parquet.
 
@@ -350,44 +493,23 @@ def time_duckdb(
     timed reps graded steady-3 for the fast tier (the identical
     estimator+rep-count the Spark scale light rows use — see
     _oracle_rep_count for why symmetry is mandatory), 2 reps past the
-    slow cutoff, 1 past VERY_SLOW_ORACLE_S (the 25–48 s
-    sessionize/as-of oracles are 50–100× Spark blowouts where a third
-    rep buys ~nothing and costs ~70 s of the budget; VERDICT r7
-    task 2). Each run is watchdog-guarded
-    (``con.interrupt()``): one pathological single-process oracle (the
-    as-of/sessionize shapes take minutes at 60 M rows) must not eat the
-    whole budget of the remaining queries.
+    slow cutoff (with the same >2× third-rep tie-breaker the Spark side
+    applies — a 2-rep "median" is a mean on either engine), 1 past
+    VERY_SLOW_ORACLE_S (the 25–48 s sessionize/as-of oracles are
+    50–100× Spark blowouts where a third rep buys ~nothing and costs
+    ~70 s of the budget; VERDICT r7 task 2). Each run is
+    watchdog-guarded (``con.interrupt()``): one pathological
+    single-process oracle (the as-of/sessionize shapes take minutes at
+    60 M rows) must not eat the whole budget of the remaining queries.
     """
-    import threading
-
-    import duckdb
-
-    con = duckdb.connect()
-    # Keep DuckDB's spill files OUT of the repo: an in-memory connection's
-    # temp_directory defaults to ./.tmp of the CWD, and a watchdog-capped
-    # oracle can spill GBs before the interrupt lands (the r8 triangle
-    # OOM left 9.4 GB under the repo before its MATERIALIZED fix).
-    con.execute("SET temp_directory='/tmp/duckdb_bench_spill.tmp'")
-    for t in TABLES:
-        p = os.path.join(data_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            p = os.path.join(p, "*.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    own_con = con is None
+    if own_con:
+        con = _duck_connect(data_dir)
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
 
     def guarded_run(sql: str, cap: float) -> float | None:
-        """One watchdogged execution; returns elapsed or None on interrupt."""
-        timer = threading.Timer(cap, con.interrupt)
-        timer.start()
-        t0 = time.perf_counter()
-        try:
-            con.execute(sql).fetchall()
-        except duckdb.Error:
-            return None
-        finally:
-            timer.cancel()
-        return time.perf_counter() - t0
+        return _guarded_run(con, sql, cap)
 
     for name in oracle_pass_order(specs, bench_variant):
         sql = (
@@ -397,6 +519,7 @@ def time_duckdb(
         )
         if not sql:
             continue
+        sql = _hoist_qvec(name, sql)
         if skipped is not None and remaining() <= 30:
             skipped.append(f"duckdb:{name}")
             continue
@@ -430,6 +553,18 @@ def time_duckdb(
         if hit_cap and skipped is not None:
             # A mid-rep interrupt is a lower bound too, not a measurement.
             skipped.append(f"duckdb-timeout-lower-bound:{name}")
+        # 2-rep tie-breaker, same rule as the Spark side (ADVICE r9: the
+        # tiers must not diverge): two reps disagreeing by >2× get a
+        # third if the budget can absorb it at the cheaper rep's cost.
+        if (
+            not hit_cap
+            and len(raw) == 2
+            and max(raw) > 2 * min(raw)
+            and remaining() > min(raw) + 30
+        ):
+            cap = max(5.0, min(per_query_cap, remaining() - 15))
+            elapsed = guarded_run(sql, cap)
+            raw.append(round(cap if elapsed is None else elapsed, 4))
         # 5-rep fast tier gets the same steady-3 grade as its Spark
         # numerator; shorter tiers reduce to the plain median inside
         # _steady_median's len<=k fallback.
@@ -439,8 +574,100 @@ def time_duckdb(
             f"# duckdb {name}: {timings[name]:.3f}s median of {raw}",
             file=sys.stderr,
         )
-    con.close()
+    if own_con:
+        con.close()
     return timings, raw_reps
+
+
+def time_paired(
+    specs,
+    spark,
+    data_dir,
+    con,
+    skipped=None,
+    skip_label="paired",
+    n_reps=5,
+    steady_k=3,
+    n_warm=1,
+    bench_variant=True,
+):
+    """Per-rep PAIRED Spark/DuckDB measurement (VERDICT r9 tasks 1+2).
+
+    For each query: untimed warm rep(s) on both engines, then ``n_reps``
+    ALTERNATING timed reps — Spark rep i immediately followed by the
+    oracle rep i on the same box state — and THREE graded numbers per
+    row, every one a steady-k window estimate: the Spark wall (over
+    spark reps), the DuckDB wall (over oracle reps), and the RATIO
+    (over the per-rep quotients spark_i/duck_i, NOT the quotient of the
+    walls). The quotient sequence is what makes the grade storm-proof: a
+    degraded box inflates spark_i and duck_i of the same index together,
+    so the quotient barely moves, whereas a ratio-of-medians lets a
+    storm that hits only one engine's median skew the grade by 2-3×
+    (round-9 record: run 7's tail storm graded bucketed q3 at 2.54
+    against a reproduced 0.84 s steady wall; run 10's same-moment
+    pairing absorbed a 2× degraded box at ratios 1.006/1.003).
+    Symmetric by construction: identical rep counts, identical
+    estimator, same moments in time.
+
+    Returns (spark_t, spark_reps, duck_t, duck_reps, ratio_t, ratio_reps).
+    Rows whose oracle rep hits the watchdog cap are flagged
+    ``duckdb-timeout-lower-bound`` exactly like time_duckdb; these rows
+    are all sub-second on both engines, so the cap only fires on a
+    pathological box state and the flag keeps it auditable."""
+    spark_t: dict[str, float] = {}
+    spark_reps: dict[str, list[float]] = {}
+    duck_t: dict[str, float] = {}
+    duck_reps: dict[str, list[float]] = {}
+    ratio_t: dict[str, float] = {}
+    ratio_reps: dict[str, list[float]] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        fn = (spec.bench_fn or spec.fn) if bench_variant else spec.fn
+        sql = (spec.bench_oracle or spec.oracle) if bench_variant else spec.oracle
+        assert sql, f"{name}: paired grading needs an oracle"
+        sql = _hoist_qvec(name, sql)
+        if skipped is not None and remaining() <= 30:
+            skipped.append(f"{skip_label}:{name}")
+            continue
+        default_cap = REGISTRY[name].oracle_cap_s or 150.0
+        for _ in range(n_warm):  # untimed Spark warm-ups (cold cache + JIT)
+            n = fn(spark, data_dir).count()
+        _guarded_run(con, sql, max(10.0, min(default_cap, remaining() - 15)))
+        s_raw: list[float] = []
+        d_raw: list[float] = []
+        hit_cap = False
+        for _ in range(n_reps):
+            last_pair = (s_raw[-1] + d_raw[-1]) if s_raw else 0.0
+            if s_raw and remaining() < last_pair + 30:
+                if skipped is not None:
+                    skipped.append(f"{skip_label}-truncated:{name}")
+                break
+            t0 = time.perf_counter()
+            fn(spark, data_dir).count()
+            s_raw.append(round(time.perf_counter() - t0, 4))
+            cap = max(5.0, min(default_cap, remaining() - 15))
+            elapsed = _guarded_run(con, sql, cap)
+            if elapsed is None:
+                hit_cap = True
+                d_raw.append(round(cap, 4))
+            else:
+                d_raw.append(round(elapsed, 4))
+        if hit_cap and skipped is not None:
+            skipped.append(f"duckdb-timeout-lower-bound:{name}")
+        pair_ratios = [round(s / d, 4) for s, d in zip(s_raw, d_raw)]
+        spark_t[name] = round(_steady_median(s_raw, steady_k), 4)
+        spark_reps[name] = s_raw
+        duck_t[name] = round(_steady_median(d_raw, steady_k), 4)
+        duck_reps[name] = d_raw
+        ratio_t[name] = round(_steady_median(pair_ratios, steady_k), 3)
+        ratio_reps[name] = pair_ratios
+        print(
+            f"# {skip_label} {name}: ratio {ratio_t[name]:.3f} "
+            f"(spark {spark_t[name]:.3f}s {s_raw} / duckdb "
+            f"{duck_t[name]:.3f}s {d_raw}; {n} rows)",
+            file=sys.stderr,
+        )
+    return spark_t, spark_reps, duck_t, duck_reps, ratio_t, ratio_reps
 
 
 def main() -> None:
@@ -489,6 +716,8 @@ def main() -> None:
         # trailing capped lower bounds, never a graded Spark median.
         light = {n: s for n, s in specs.items() if not s.bench_heavy}
         heavy = {n: s for n, s in specs.items() if s.bench_heavy}
+        paired_specs = {n: light[n] for n in PAIRED_ROWS if n in light}
+        unpaired_light = {n: s for n, s in light.items() if n not in paired_specs}
         variants = {
             n: "bench_fn+bench_oracle(reduced corpus)"
             for n, s in specs.items()
@@ -508,18 +737,36 @@ def main() -> None:
         # the 2 extra sub-second reps cost fits the measured headroom
         # (runs 6-7 finished at 726/890 s of the 1200 s budget).
         spark_t, spark_reps = time_spark(
-            light, spark, SCALE_DIR, skipped=skipped, bench_variant=True,
+            unpaired_light, spark, SCALE_DIR, skipped=skipped, bench_variant=True,
             force_reps=True, n_reps=5, steady_k=3,
         )
+        # Per-rep paired rows (VERDICT r9 tasks 1+2): same total rep cost
+        # as the old protocol (5 Spark reps here + 5 oracle reps in the
+        # end-of-run pass), but alternated so every quotient compares the
+        # same box moment. The connection is shared with the end-of-run
+        # oracle pass — its q_vec hoist table is built once, untimed.
+        con = _duck_connect(SCALE_DIR)
+        p_spark, p_sreps, duck_t, duck_reps, p_ratio, p_rreps = time_paired(
+            paired_specs, spark, SCALE_DIR, con, skipped=skipped,
+            skip_label="paired", n_reps=5, steady_k=3,
+        )
+        spark_t.update(p_spark)
+        spark_reps.update(p_sreps)
         result["scale"] = {
             "factors": DEFAULT_FACTORS,
             "rows": rows,
-            "stat": "light=steady3_of_5_warm_reps, heavy=median_of_warm_reps",
+            "stat": (
+                "light=steady3_of_5_warm_reps, heavy=median_of_warm_reps, "
+                "paired rows=steady3 over per-rep spark_i/duck_i quotients"
+            ),
             "spark": spark_t,
             "spark_reps": spark_reps,
+            "paired": sorted(p_ratio),
+            "paired_ratio_reps": p_rreps,
             "order": (
-                "light -> bucketed -> paired q3/q5 oracles -> heavy "
-                "-> oracles (twins, plain, oracle_heavy blowouts last)"
+                "unpaired light -> paired light (alternating reps) -> "
+                "bucketed (alternating reps) -> heavy -> oracles "
+                "(twins, plain, oracle_heavy blowouts last)"
             ),
             "bench_variants": variants,
         }
@@ -596,26 +843,35 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
+            bduck_t: dict[str, float] = {}
             try:
-                # the two bucketed queries are ~1 s each: 9 reps cost ~8 s
-                # against 450+ s of budget headroom, graded by the
-                # steady-3 estimator — robust to BOTH the multi-rep IO
-                # settling head (r8 six-run 1.69-2.39x band on
-                # byte-identical plans) and the mid-phase interference
-                # storms this host shows (round-9 run 7: the storm hit
-                # the TAIL, so r8's last-5 median graded 2.54 where the
-                # reproduced steady wall was 0.84-0.85 s). Raw 9-rep
-                # spreads stay in the sidecar for audit.
-                bspark_t, bspark_reps = time_spark(
+                # the two bucketed queries are ~1 s each: 9 ALTERNATING
+                # rep pairs cost ~20 s against 450+ s of budget headroom,
+                # graded steady-5 over the per-rep quotients (VERDICT r9
+                # task 1) — robust to BOTH the multi-rep IO settling head
+                # (r8 six-run 1.69-2.39x band on byte-identical plans)
+                # and the mid-phase interference storms this host shows
+                # (round-9 run 7: the storm hit the TAIL, so r8's last-5
+                # median graded 2.54 where the reproduced steady wall was
+                # 0.84-0.85 s; run 10's same-moment pairing absorbed a 2×
+                # degraded box at 1.006/1.003). The oracle denominator is
+                # re-measured HERE, at the bucketed phase's own box
+                # moments, with the SAME 9-rep steady-5 treatment as its
+                # numerator (ADVICE r9: 5-of-9 over 3-of-5 no longer
+                # cancels). Raw spreads stay in the sidecar for audit.
+                (
+                    bspark_t, bspark_reps, bduck_t, bduck_reps,
+                    bratio_t, bratio_reps,
+                ) = time_paired(
                     bucket_specs,
                     spark,
                     SCALE_DIR,
+                    con,
                     skipped=skipped,
                     skip_label="spark-bucketed",
                     n_reps=9,
-                    force_reps=True,
-                    n_warm=3,
                     steady_k=5,
+                    n_warm=3,
                 )
             finally:
                 spark.conf.set(BUCKETED_TABLES_CONF, "")
@@ -627,31 +883,14 @@ def main() -> None:
             result["scale"]["bucketed"] = {
                 "spark": bspark_t,
                 "spark_reps": bspark_reps,
-                "stat": "steady5_of_9_warm_reps",
+                "duckdb": bduck_t,
+                "duckdb_reps": bduck_reps,
+                "ratio": bratio_t,
+                "ratio_reps": bratio_reps,
+                "stat": "steady5 over 9 per-rep paired quotients",
             }
         else:
             skipped.append("bucketed-phase:budget")
-        # Pair the bar-sensitive q3/q5 ORACLES with the Spark runs they
-        # grade: measured HERE, adjacent to the plain+bucketed Spark
-        # timings, instead of in the end-of-run oracle pass. Rationale
-        # (round 8, five-run record in BASELINE.md): Spark's steady-state
-        # for these rows drifts ±25% BETWEEN runs while DuckDB's stays
-        # flat (0.44-0.59 s in every run — measured insensitive even
-        # mid-run under this pairing), so the graded ratio should at
-        # least come from one moment in time, not a numerator from one
-        # box state and a denominator from another 400 s later.
-        # Same-conditions pairing is the defensible protocol either way,
-        # and costs ~8 s (4 reps × 2 sub-second oracles), so the
-        # budget-kill argument for oracles-last still holds for
-        # everything expensive.
-        paired = {
-            q: light[q]
-            for q in ("q3_shipping_priority", "q5_local_supplier")
-            if q in light
-        }
-        duck_t, duck_reps = time_duckdb(
-            paired, SCALE_DIR, skipped=skipped, bench_variant=True
-        )
         # bench_heavy rows: last among the Spark timings (see phase-order
         # note above). Their own medians are reliable in this slot — each
         # pays its cold read in its untimed warm rep, same as ever.
@@ -667,42 +906,52 @@ def main() -> None:
         # bound, never a measurable row (round 9: the old light-then-
         # heavy pass order spent 50 s on the as-of blowout and then
         # skipped 14 oracles including all three twins).
-        rest = {n: s for n, s in {**light, **heavy}.items() if n not in paired}
+        rest = {
+            n: s for n, s in {**light, **heavy}.items() if n not in paired_specs
+        }
         dr_t, dr_reps = time_duckdb(
-            rest, SCALE_DIR, skipped=skipped, bench_variant=True
+            rest, SCALE_DIR, skipped=skipped, bench_variant=True, con=con
         )
+        con.close()
         duck_t.update(dr_t)
         duck_reps.update(dr_reps)
+        # Unpaired rows grade as the quotient of the two steady walls;
+        # the paired rows' grade is the steady estimate over their
+        # per-rep quotient sequence (never recomputed from the walls).
         ratio = {
-            q: round(spark_t[q] / duck_t[q], 3) for q in spark_t if q in duck_t
+            q: round(spark_t[q] / duck_t[q], 3)
+            for q in spark_t
+            if q in duck_t and q not in p_ratio
         }
+        ratio.update(p_ratio)
         result["scale"]["duckdb"] = duck_t
         result["scale"]["duckdb_reps"] = duck_reps
         result["scale"]["ratio"] = ratio
         result["scale"]["ratio_median"] = (
             round(statistics.median(ratio.values()), 3) if ratio else None
         )
-        if bspark_t:
-            result["scale"]["bucketed"]["ratio"] = {
-                q: round(bspark_t[q] / duck_t[q], 3)
-                for q in bspark_t
-                if q in duck_t
-            }
         if skipped:
             result["scale"]["skipped"] = skipped
         # Grade block: graded ratios + the absolute Spark walls they were
         # computed from. The sidecar keeps it all; stdout carries the
         # ratio subset via build_compact_line (absolute DuckDB walls are
-        # recoverable there as spark/ratio).
+        # recoverable there as spark/ratio). "paired" names the rows
+        # graded by the per-rep quotient protocol (incl. both bucketed
+        # rows); "qvec_hoist" names the oracles whose untimed query-
+        # vector setup mirrors Spark's untimed memo (ADVICE r9, medium).
         result["grade"] = {
             "spark": {q: round(v, 3) for q, v in spark_t.items()},
             "ratio": ratio,
             "ratio_median": result["scale"]["ratio_median"],
             "bucketed_spark": {q: round(v, 3) for q, v in bspark_t.items()},
             "bucketed_ratio": result["scale"].get("bucketed", {}).get("ratio", {}),
+            "paired": sorted(p_ratio),
+            "qvec_hoist": sorted(QVEC_HOIST),
             "variants": sorted(variants),
             "skipped": skipped,
         }
+        if PLAIN_NOTE:
+            result["grade"]["plain_note"] = PLAIN_NOTE
     elif RUN_SCALE:
         result["scale_skipped"] = "budget exhausted before scale phase"
     result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)

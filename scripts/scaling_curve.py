@@ -72,6 +72,33 @@ def time_queries(spark, data_dir: str, names, reps: int = 3) -> dict[str, float]
     return out
 
 
+def time_oracles(data_dir: str, names, reps: int = 3) -> dict[str, float]:
+    """Best-of-`reps` DuckDB oracle walls on views over the same parquet —
+    the same estimator the Spark side of this probe uses, so the per-scale
+    ratio column compares like with like. Reuses bench.py's connection
+    setup (spill dir + untimed q_vec hoist), though the two TPC-H rows
+    this probe grades carry no query vector."""
+    import bench
+
+    con = bench._duck_connect(data_dir)
+    out: dict[str, float] = {}
+    for name in names:
+        sql = bench._hoist_qvec(name, REGISTRY[name].oracle)
+        con.execute(sql).fetchall()  # untimed warm rep
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+        print(
+            f"# duckdb {os.path.basename(data_dir)} {name}: {best:.3f}s",
+            file=sys.stderr,
+        )
+    con.close()
+    return out
+
+
 def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
     # 2x cores, matching bench.py phase 2c (r6 bucket-count A/B)
     n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,6 +145,17 @@ def main() -> None:
     t2 = time_queries(spark, d2, QUERIES)
     b1 = bucketed_phase(spark, d1)
     b2 = bucketed_phase(spark, d2)
+    # Amortization-curve column (VERDICT r9 task 3): the plain q3/q5
+    # Spark/DuckDB ratio at 1x and 2x. The claim this measures: the
+    # over-bar plain readings are a fixed ~0.7-0.8 s scheduling/codegen
+    # constant over a sub-2 s denominator, so DOUBLING the data (which
+    # ~doubles the oracle wall but adds only marginal compute to Spark's)
+    # must pull the ratio toward the bar — a ratio that HOLDS at 2x would
+    # instead falsify the constant-dominated decomposition.
+    o1 = time_oracles(d1, BUCKETED)
+    o2 = time_oracles(d2, BUCKETED)
+    ratio1 = {q: round(t1[q] / o1[q], 3) for q in BUCKETED}
+    ratio2 = {q: round(t2[q] / o2[q], 3) for q in BUCKETED}
 
     growth = {q: round(t2[q] / t1[q], 2) for q in QUERIES if t1[q] > 0}
     bgrowth = {q: round(b2[q] / b1[q], 2) for q in BUCKETED if b1[q] > 0}
@@ -133,6 +171,10 @@ def main() -> None:
                 "bucketed_1x": b1,
                 "bucketed_2x": b2,
                 "bucketed_growth_2x": bgrowth,
+                "duckdb_1x": o1,
+                "duckdb_2x": o2,
+                "plain_ratio_1x": ratio1,
+                "plain_ratio_2x": ratio2,
             }
         )
     )

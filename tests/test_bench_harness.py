@@ -284,3 +284,161 @@ def test_oracle_pass_order_twins_first():
         "asof_join_purchase_click",
         "events_sessionize",
     ]
+
+
+def test_force_reps_genuinely_slow_falls_to_two_rep_tier(monkeypatch):
+    """ADVICE r9 (low): force_reps exists to protect sub-second queries
+    from a COLD-CACHE warm rep tripping the slow cutoff — but a row whose
+    warm rep AND first timed rep both exceed the cutoff is genuinely
+    slow, and pinning it to 5 reps steady-3 over a 2-rep oracle mean is
+    a tier where the estimators diverge. It must fall back to the same
+    2-rep plain-median tier the oracle side uses."""
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    clock = {"now": 0.0}
+    deltas = iter([6.2, 6.4, 6.0, 6.1, 6.3])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(
+        lambda: None, warm_s=6.5, n_reps=5, force_reps=True, steady_k=3
+    )
+    assert len(raw) == 2  # matched the oracle's 2-rep tier
+    assert med == 6.3  # plain median (mean of 2), not a steady-3 min
+
+
+def test_force_reps_cold_cache_keeps_full_reps(monkeypatch):
+    """The case force_reps exists FOR: slow warm-up (cold page cache),
+    fast timed reps — the full rep count and steady grade must stand."""
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    clock = {"now": 0.0}
+    deltas = iter([1.2, 1.0, 0.9, 1.0, 1.1])
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(deltas)
+        return clock["now"]
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    med, raw = bench._median_reps(
+        lambda: None, warm_s=6.5, n_reps=5, force_reps=True, steady_k=3
+    )
+    assert len(raw) == 5
+    assert med == 1.0
+
+
+def _fake_paired_harness(monkeypatch, spark_deltas, duck_deltas, n_warm=1):
+    """Drive bench.time_paired with a scripted clock: spark rep i takes
+    spark_deltas[i], oracle rep i returns duck_deltas[i] directly."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "remaining", lambda: 1e9)
+    log = []
+
+    class FakeResult:
+        def count(self):
+            log.append("S")
+            return 1
+
+    spec = QuerySpec(name="fake_q", fn=lambda s, d: FakeResult(), oracle="SELECT 1")
+    monkeypatch.setitem(bench.REGISTRY, "fake_q", spec)
+
+    clock = {"now": 0.0}
+    sd = iter(spark_deltas)
+    calls = {"n": 0}
+
+    def fake_counter():
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            clock["now"] += next(sd)
+        return clock["now"]
+
+    dd = iter([None] * (n_warm and 1) + list(duck_deltas))  # first = warm rep
+
+    def fake_guarded(con, sql, cap):
+        log.append("D")
+        v = next(dd)
+        return 0.01 if v is None else v
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    monkeypatch.setattr(bench, "_guarded_run", fake_guarded)
+    out = bench.time_paired(
+        {"fake_q": spec}, spark=None, data_dir="/nowhere", con=None,
+        skipped=[], n_reps=len(duck_deltas), steady_k=3, n_warm=n_warm,
+        bench_variant=False,
+    )
+    return out, log
+
+
+def test_time_paired_grades_per_rep_quotients_not_wall_quotient(monkeypatch):
+    """VERDICT r9 task 1: a storm that inflates BOTH engines' rep i must
+    cancel in the quotient. Here rep 3 is a 4x storm on both sides: the
+    per-rep quotient sequence stays ~1.0, while a ratio-of-medians
+    protocol would have been exposed to whichever side's median the
+    storm happened to land in."""
+    (spark_t, sreps, duck_t, dreps, ratio_t, rreps), log = _fake_paired_harness(
+        monkeypatch,
+        spark_deltas=[0.5, 0.52, 2.0, 0.48, 0.5],
+        duck_deltas=[0.5, 0.5, 2.1, 0.5, 0.52],
+    )
+    assert sreps["fake_q"] == [0.5, 0.52, 2.0, 0.48, 0.5]
+    assert dreps["fake_q"] == [0.5, 0.5, 2.1, 0.5, 0.52]
+    # quotients [1.0, 1.04, 0.952, 0.96, 0.962] -> steady-3 ~0.96
+    assert rreps["fake_q"] == [1.0, 1.04, 0.9524, 0.96, 0.9615]
+    assert 0.95 <= ratio_t["fake_q"] <= 1.0
+    # graded ratio comes from the quotient sequence, not the walls:
+    assert ratio_t["fake_q"] != round(spark_t["fake_q"] / duck_t["fake_q"], 3)
+
+
+def test_time_paired_alternates_engines_per_rep(monkeypatch):
+    """The pairing claim is temporal: spark rep i immediately followed by
+    oracle rep i (warm-ups first, one per engine)."""
+    _, log = _fake_paired_harness(
+        monkeypatch,
+        spark_deltas=[0.5, 0.5, 0.5],
+        duck_deltas=[0.5, 0.5, 0.5],
+    )
+    # S (spark warm), D (duck warm), then strict S D S D S D
+    assert log == ["S", "D", "S", "D", "S", "D", "S", "D"]
+
+
+def test_time_paired_one_sided_storm_moves_only_its_rep(monkeypatch):
+    """A storm that hits ONLY the spark side of rep 3 distorts quotient 3
+    alone; the steady-3 window over quotients excludes it (the old
+    ratio-of-medians could not, when the storm landed mid-median)."""
+    (_, _, _, _, ratio_t, rreps), _ = _fake_paired_harness(
+        monkeypatch,
+        spark_deltas=[0.5, 0.5, 2.0, 0.5, 0.5],
+        duck_deltas=[0.5, 0.5, 0.5, 0.5, 0.5],
+    )
+    assert rreps["fake_q"] == [1.0, 1.0, 4.0, 1.0, 1.0]
+    assert ratio_t["fake_q"] == 1.0
+
+
+def test_time_paired_real_query_end_to_end():
+    """Plumbing smoke on real data: q1 at sf0.001 through a real DuckDB
+    connection (incl. the q_vec setup in _duck_connect)."""
+    from transilien_api_etl_spark.session import build_session
+
+    spark = build_session(app_name="paired-smoke")
+    try:
+        con = bench._duck_connect("/root/testdata/sf0.001")
+        spec = bench.REGISTRY["q1_pricing_summary"]
+        spark_t, sreps, duck_t, dreps, ratio_t, rreps = bench.time_paired(
+            {"q1_pricing_summary": spec}, spark, "/root/testdata/sf0.001",
+            con, skipped=[], n_reps=3, steady_k=3, bench_variant=False,
+        )
+        con.close()
+        assert spark_t["q1_pricing_summary"] > 0
+        assert duck_t["q1_pricing_summary"] > 0
+        assert len(rreps["q1_pricing_summary"]) == 3
+        assert ratio_t["q1_pricing_summary"] > 0
+    finally:
+        spark.stop()
