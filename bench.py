@@ -153,9 +153,14 @@ PAIRED_ROWS = (
 )
 
 # One-line pointer from the grade block to the measured plain-q3/q5
-# amortization curve (VERDICT r9 task 3) — set once the curve is recorded
-# in BASELINE.md; None suppresses the field.
-PLAIN_NOTE: str | None = None
+# amortization curve (VERDICT r9 task 3; BASELINE.md "Round-10: the plain
+# q3/q5 amortization curve"): ratio falls with data because the numerator
+# is constant-dominated, and the fitted SLOPE (marginal cost per row,
+# what survives at 100 TB) is at/under the 2x bar for both rows.
+PLAIN_NOTE: str | None = (
+    "plain q3/q5 constant-dominated: ratio 5.05->3.54 / 3.82->2.39 at "
+    "1x->2x data; marginal(slope) ratio ~2.1/~1.2 (BASELINE.md r10 curve)"
+)
 
 # Query-vector hoist (ADVICE r9, medium): Spark's kNN plans read the
 # query embedding from an untimed mtime-keyed memo and carry it as a task-
@@ -207,12 +212,21 @@ def _duck_connect(data_dir: str):
     # oracle can spill GBs before the interrupt lands (the r8 triangle
     # OOM left 9.4 GB under the repo before its MATERIALIZED fix).
     con.execute("SET temp_directory='/tmp/duckdb_bench_spill.tmp'")
+    has_embeddings = False
     for t in TABLES:
         p = os.path.join(data_dir, f"{t}.parquet")
+        # Partial caches are legitimate (the scaling-curve 2x cache
+        # carries only the relational+events facts to bound disk) — a
+        # view over an absent table would fail here and no query that
+        # runs against such a cache references one.
+        if not os.path.exists(p):
+            continue
         if os.path.isdir(p):
             p = os.path.join(p, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    con.execute(QVEC_SETUP)
+        has_embeddings = has_embeddings or t == "embeddings"
+    if has_embeddings:
+        con.execute(QVEC_SETUP)
     return con
 
 
