@@ -277,8 +277,13 @@ def build_compact_line(result: dict) -> str:
     number; absolute per-engine walls and rep spreads stay in the sidecar.
 
     Trim ladder (applied only if the line overflows, e.g. a long
-    ``skipped`` list after a budget kill): drop grade.variants -> round
-    ratios to 2 dp -> drop per-query grade.ratio detail (median survives).
+    ``skipped`` list after a budget kill): drop grade.variants ->
+    compress paired/qvec_hoist to counts -> drop plain_note -> round
+    ratios to 2 dp -> truncate the skipped list -> only then drop
+    per-query grade.ratio detail (median survives) -> drop queries.
+    The graded ratios are the artifact's reason to exist, so they are
+    sacrificed LAST, after every annotation (round 10: the old order
+    dropped them while a long skipped list rode along untrimmed).
     Each rung is strictly smaller, so the final resort always fits."""
     compact = {
         "metric": result["metric"],
@@ -319,11 +324,30 @@ def build_compact_line(result: dict) -> str:
         compact["grade"]["qvec_hoist"] = len(grade.get("qvec_hoist", []))
         line = dump()
     if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        compact["grade"].pop("plain_note", None)
+        line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
         for key in ("ratio", "bucketed_ratio"):
             compact["grade"][key] = {
                 q: round(v, 2) for q, v in compact["grade"][key].items()
             }
         line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        skipped = compact["grade"].get("skipped", [])
+        if len(skipped) > 5:
+            compact["grade"]["skipped"] = skipped[:5] + [
+                f"+{len(skipped) - 5} more: see BENCH_FULL_last.json"
+            ]
+            line = dump()
+    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
+        # last skip-list rung before ratios are touched: a bare count
+        # pointer — still not silent, and ~250 chars cheaper
+        skipped = result["grade"].get("skipped", [])
+        if skipped:
+            compact["grade"]["skipped"] = [
+                f"{len(skipped)} entries: see BENCH_FULL_last.json"
+            ]
+            line = dump()
     if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
         compact["grade"]["ratio"] = "see BENCH_FULL_last.json"
         compact["grade"]["bucketed_ratio"] = "see BENCH_FULL_last.json"
@@ -331,13 +355,6 @@ def build_compact_line(result: dict) -> str:
     if len(line) > STDOUT_TAIL_BUDGET:
         compact["queries"] = "see BENCH_FULL_last.json"
         line = dump()
-    if len(line) > STDOUT_TAIL_BUDGET and "grade" in compact:
-        skipped = compact["grade"].get("skipped", [])
-        if len(skipped) > 10:
-            compact["grade"]["skipped"] = skipped[:10] + [
-                f"+{len(skipped) - 10} more: see BENCH_FULL_last.json"
-            ]
-            line = dump()
     return line
 
 
