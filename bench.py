@@ -75,6 +75,7 @@ cache eviction inflated unchanged sub-second plans by 1.4–2.3×.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -230,8 +231,15 @@ def _duck_connect(data_dir: str):
     return con
 
 
-def _guarded_run(con, sql: str, cap: float) -> float | None:
-    """One watchdogged execution; returns elapsed or None on interrupt."""
+def _guarded_run(con, sql: str, cap: float):
+    """One watchdogged execution.
+
+    Returns elapsed seconds, None on a watchdog interrupt (a timeout —
+    the caller records a lower bound), or the Error itself on any OTHER
+    DuckDB error (code-review round 10: a binder error from a missing
+    table used to be swallowed into the same None as a timeout, grading
+    a configuration error as a decisive cap-valued Spark win — callers
+    must flag these as ``duckdb-error`` instead of timing them)."""
     import threading
 
     import duckdb
@@ -241,11 +249,74 @@ def _guarded_run(con, sql: str, cap: float) -> float | None:
     t0 = time.perf_counter()
     try:
         con.execute(sql).fetchall()
-    except duckdb.Error:
+    except duckdb.InterruptException:
         return None
+    except duckdb.Error as exc:
+        return exc
     finally:
         timer.cancel()
     return time.perf_counter() - t0
+
+
+def ensure_bucketed_layout(
+    spark, data_dir: str, n_buckets: int | None = None, prune_stale: bool = True
+) -> str:
+    """Clustered+sorted external bucketed copies of the two fact tables
+    next to ``data_dir`` (DEPLOY.md's prescribed 100 TB at-rest layout).
+
+    ONE definition shared by bench.py's phase 2c and
+    scripts/scaling_curve.py (code-review round 10: the two inline copies
+    had already drifted — the script's copy never pruned superseded
+    layouts, accumulating multi-GB orphans per bucket-count change).
+    Bucket count defaults to 2× the core count (r6 A/B: two half-size
+    waves balance the bucket-capped scan+agg pipeline best)."""
+    from transilien_api_etl_spark.io import load_table
+    from transilien_api_etl_spark.sources.sinks import ensure_bucketed_external
+
+    if n_buckets is None:
+        n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bucket_dir = data_dir.rstrip("/") + f"_bucketed_v2_{n_buckets}"
+    if prune_stale:
+        base = data_dir.rstrip("/") + "_bucketed_v2"
+        for stale in glob.glob(base + "*"):
+            if os.path.abspath(stale) != os.path.abspath(bucket_dir):
+                shutil.rmtree(stale, ignore_errors=True)
+                print(f"# pruned stale bucketed layout {stale}", file=sys.stderr)
+    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        ensure_bucketed_external(
+            spark,
+            load_table(spark, data_dir, table),
+            f"{table}_bucketed",
+            os.path.join(bucket_dir, table),
+            [key],
+            n_buckets=n_buckets,
+            sort_cols=[key],
+            source_id=os.path.abspath(data_dir),
+        )
+    return bucket_dir
+
+
+@contextlib.contextmanager
+def bucketed_confs(spark, data_dir: str):
+    """Route io.load_table at the bucketed fact tables for the duration
+    (and expose the at-rest sort order to the planner); always restores
+    the previous conf state, even on error."""
+    from transilien_api_etl_spark.io import BUCKETED_DIR_CONF, BUCKETED_TABLES_CONF
+
+    prev_order = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    )
+    spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
+    spark.conf.set(BUCKETED_DIR_CONF, data_dir)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(BUCKETED_TABLES_CONF, "")
+        spark.conf.set(BUCKETED_DIR_CONF, "")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_order
+        )
 
 
 def _oracle_rep_count(warm_s: float) -> int:
@@ -557,6 +628,14 @@ def time_duckdb(
         default_cap = REGISTRY[name].oracle_cap_s or 150.0
         per_query_cap = max(10.0, min(default_cap, remaining() - 15))
         warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
+        if isinstance(warm_s, Exception):
+            # A binder/config error is NOT a timeout: no timing is
+            # recorded at all (a cap-valued entry would grade a broken
+            # setup as a decisive Spark win — code-review round 10).
+            if skipped is not None:
+                skipped.append(f"duckdb-error:{name}:{str(warm_s)[:80]}")
+            print(f"# duckdb {name}: ERROR {warm_s}", file=sys.stderr)
+            continue
         if warm_s is None:
             # Record the cap as a LOWER BOUND on DuckDB's time (flagged
             # in `skipped`): the Spark/DuckDB ratio derived from it is
@@ -576,6 +655,10 @@ def time_duckdb(
             # external harness kill then loses the whole JSON line.
             cap = max(5.0, min(per_query_cap, remaining() - 15))
             elapsed = guarded_run(sql, cap)
+            if isinstance(elapsed, Exception):
+                if skipped is not None:
+                    skipped.append(f"duckdb-error:{name}:{str(elapsed)[:80]}")
+                break  # grade whatever measured reps exist, if any
             if elapsed is None:
                 hit_cap = True
                 raw.append(round(cap, 4))
@@ -584,6 +667,8 @@ def time_duckdb(
         if hit_cap and skipped is not None:
             # A mid-rep interrupt is a lower bound too, not a measurement.
             skipped.append(f"duckdb-timeout-lower-bound:{name}")
+        if not raw:
+            continue
         # 2-rep tie-breaker, same rule as the Spark side (ADVICE r9: the
         # tiers must not diverge): two reps disagreeing by >2× get a
         # third if the budget can absorb it at the cheaper rep's cost.
@@ -595,7 +680,18 @@ def time_duckdb(
         ):
             cap = max(5.0, min(per_query_cap, remaining() - 15))
             elapsed = guarded_run(sql, cap)
-            raw.append(round(cap if elapsed is None else elapsed, 4))
+            # The tie-break rep obeys the same audit contract as any
+            # other rep (code-review round 10): a cap hit rides as a
+            # flagged lower bound, an error is flagged and NOT timed.
+            if isinstance(elapsed, Exception):
+                if skipped is not None:
+                    skipped.append(f"duckdb-error:{name}:{str(elapsed)[:80]}")
+            elif elapsed is None:
+                raw.append(round(cap, 4))
+                if skipped is not None:
+                    skipped.append(f"duckdb-timeout-lower-bound:{name}")
+            else:
+                raw.append(round(elapsed, 4))
         # 5-rep fast tier gets the same steady-3 grade as its Spark
         # numerator; shorter tiers reduce to the plain median inside
         # _steady_median's len<=k fallback.
@@ -660,10 +756,19 @@ def time_paired(
         if skipped is not None and remaining() <= 30:
             skipped.append(f"{skip_label}:{name}")
             continue
-        default_cap = REGISTRY[name].oracle_cap_s or 150.0
+        default_cap = spec.oracle_cap_s or 150.0
+        n = None  # row count from the last warm-up, for the audit print
         for _ in range(n_warm):  # untimed Spark warm-ups (cold cache + JIT)
             n = fn(spark, data_dir).count()
-        _guarded_run(con, sql, max(10.0, min(default_cap, remaining() - 15)))
+        warm_d = _guarded_run(con, sql, max(10.0, min(default_cap, remaining() - 15)))
+        if isinstance(warm_d, Exception):
+            # A binder/config error is NOT a timeout: the row cannot be
+            # paired at all — flag loudly, record nothing (code-review
+            # round 10; same contract as time_duckdb).
+            if skipped is not None:
+                skipped.append(f"duckdb-error:{name}:{str(warm_d)[:80]}")
+            print(f"# {skip_label} {name}: oracle ERROR {warm_d}", file=sys.stderr)
+            continue
         s_raw: list[float] = []
         d_raw: list[float] = []
         hit_cap = False
@@ -675,9 +780,15 @@ def time_paired(
                 break
             t0 = time.perf_counter()
             fn(spark, data_dir).count()
-            s_raw.append(round(time.perf_counter() - t0, 4))
+            s_spent = round(time.perf_counter() - t0, 4)
             cap = max(5.0, min(default_cap, remaining() - 15))
             elapsed = _guarded_run(con, sql, cap)
+            if isinstance(elapsed, Exception):
+                # drop the unpaired Spark rep too: quotients stay paired
+                if skipped is not None:
+                    skipped.append(f"duckdb-error:{name}:{str(elapsed)[:80]}")
+                break
+            s_raw.append(s_spent)
             if elapsed is None:
                 hit_cap = True
                 d_raw.append(round(cap, 4))
@@ -685,6 +796,8 @@ def time_paired(
                 d_raw.append(round(elapsed, 4))
         if hit_cap and skipped is not None:
             skipped.append(f"duckdb-timeout-lower-bound:{name}")
+        if not s_raw:
+            continue
         pair_ratios = [round(s / d, 4) for s, d in zip(s_raw, d_raw)]
         spark_t[name] = round(_steady_median(s_raw, steady_k), 4)
         spark_reps[name] = s_raw
@@ -787,7 +900,10 @@ def main() -> None:
             "factors": DEFAULT_FACTORS,
             "rows": rows,
             "stat": (
-                "light=steady3_of_5_warm_reps, heavy=median_of_warm_reps, "
+                "light=steady3_of_5_warm_reps (2-rep plain median when "
+                "warm AND first timed rep exceed the slow cutoff — the "
+                "rep-list length in *_reps shows which), "
+                "heavy=median_of_warm_reps, "
                 "paired rows=steady3 over per-rep spark_i/duck_i quotients"
             ),
             "spark": spark_t,
@@ -817,46 +933,13 @@ def main() -> None:
         # graded bucketed q3/q5 rows or a Spark measurement.
         bspark_t: dict[str, float] = {}
         if remaining() > 120:
-            from transilien_api_etl_spark.io import (
-                BUCKETED_DIR_CONF,
-                BUCKETED_TABLES_CONF,
-                load_table,
-            )
-            from transilien_api_etl_spark.sources.sinks import (
-                ensure_bucketed_external,
-            )
-
-            # Keyed to the scale cache's factor-string dir name, so a
-            # factor change (new SCALE_DIR) gets its own bucketed copy;
-            # source_id in the spec marker additionally forces a rewrite
-            # if this dir is ever re-pointed at different source data.
-            # 2× the core count (r6 A/B at 60 M rows: q3 1.17 s @ 32
-            # buckets → 0.86 s @ 64 → 1.20 s @ 128 — two half-size waves
-            # balance the bucket-capped scan+agg pipeline better than one
-            # full-size wave; beyond that, per-task overhead wins).
-            n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-            bucket_dir = SCALE_DIR.rstrip("/") + f"_bucketed_v2_{n_buckets}"
-            # Prune stale sibling layouts (the un-suffixed _bucketed_v2
-            # from r5, or other bucket counts after a SPARK_GRAFT_CPUS
-            # change) — each is a multi-GB clustered copy of the facts
-            # that nothing else reads once this layout supersedes it.
-            base = SCALE_DIR.rstrip("/") + "_bucketed_v2"
-            for stale in glob.glob(base + "*"):
-                if os.path.abspath(stale) != os.path.abspath(bucket_dir):
-                    shutil.rmtree(stale, ignore_errors=True)
-                    print(f"# pruned stale bucketed layout {stale}", file=sys.stderr)
+            # Layout keyed to the scale cache's factor-string dir name, so
+            # a factor change (new SCALE_DIR) gets its own bucketed copy;
+            # the one-time clustered write is cached and stays OUT of the
+            # timed section (see ensure_bucketed_layout for bucket-count
+            # rationale and stale-layout pruning).
             t0 = time.perf_counter()
-            for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-                ensure_bucketed_external(
-                    spark,
-                    load_table(spark, SCALE_DIR, table),
-                    f"{table}_bucketed",
-                    os.path.join(bucket_dir, table),
-                    [key],
-                    n_buckets=n_buckets,
-                    sort_cols=[key],
-                    source_id=os.path.abspath(SCALE_DIR),
-                )
+            ensure_bucketed_layout(spark, SCALE_DIR)
             print(
                 f"# bucketed facts ready in {time.perf_counter() - t0:.1f}s",
                 file=sys.stderr,
@@ -866,30 +949,21 @@ def main() -> None:
                 for q in ("q3_shipping_priority", "q5_local_supplier")
                 if q in specs
             }
-            prev_order = spark.conf.get(
-                "spark.sql.legacy.bucketedTableScan.outputOrdering"
-            )
-            spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
-            spark.conf.set(BUCKETED_DIR_CONF, SCALE_DIR)
-            spark.conf.set(
-                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-            )
-            bduck_t: dict[str, float] = {}
-            try:
-                # the two bucketed queries are ~1 s each: 9 ALTERNATING
-                # rep pairs cost ~20 s against 450+ s of budget headroom,
-                # graded steady-5 over the per-rep quotients (VERDICT r9
-                # task 1) — robust to BOTH the multi-rep IO settling head
-                # (r8 six-run 1.69-2.39x band on byte-identical plans)
-                # and the mid-phase interference storms this host shows
-                # (round-9 run 7: the storm hit the TAIL, so r8's last-5
-                # median graded 2.54 where the reproduced steady wall was
-                # 0.84-0.85 s; run 10's same-moment pairing absorbed a 2×
-                # degraded box at 1.006/1.003). The oracle denominator is
-                # re-measured HERE, at the bucketed phase's own box
-                # moments, with the SAME 9-rep steady-5 treatment as its
-                # numerator (ADVICE r9: 5-of-9 over 3-of-5 no longer
-                # cancels). Raw spreads stay in the sidecar for audit.
+            # the two bucketed queries are ~1 s each: 9 ALTERNATING
+            # rep pairs cost ~20 s against 450+ s of budget headroom,
+            # graded steady-5 over the per-rep quotients (VERDICT r9
+            # task 1) — robust to BOTH the multi-rep IO settling head
+            # (r8 six-run 1.69-2.39x band on byte-identical plans)
+            # and the mid-phase interference storms this host shows
+            # (round-9 run 7: the storm hit the TAIL, so r8's last-5
+            # median graded 2.54 where the reproduced steady wall was
+            # 0.84-0.85 s; run 10's same-moment pairing absorbed a 2×
+            # degraded box at 1.006/1.003). The oracle denominator is
+            # re-measured HERE, at the bucketed phase's own box
+            # moments, with the SAME 9-rep steady-5 treatment as its
+            # numerator (ADVICE r9: 5-of-9 over 3-of-5 no longer
+            # cancels). Raw spreads stay in the sidecar for audit.
+            with bucketed_confs(spark, SCALE_DIR):
                 (
                     bspark_t, bspark_reps, bduck_t, bduck_reps,
                     bratio_t, bratio_reps,
@@ -903,13 +977,6 @@ def main() -> None:
                     n_reps=9,
                     steady_k=5,
                     n_warm=3,
-                )
-            finally:
-                spark.conf.set(BUCKETED_TABLES_CONF, "")
-                spark.conf.set(BUCKETED_DIR_CONF, "")
-                spark.conf.set(
-                    "spark.sql.legacy.bucketedTableScan.outputOrdering",
-                    prev_order,
                 )
             result["scale"]["bucketed"] = {
                 "spark": bspark_t,

@@ -101,7 +101,15 @@ def main() -> None:
         sm1, sm2 = statistics.median(s1), statistics.median(s2)
         om1, om2 = statistics.median(o1), statistics.median(o2)
         # wall = C + m*n fit over the two scales; marginal = slope ratio.
+        # BOTH slopes must be positive and outside rep noise for the
+        # 2-point fit to mean anything (code-review round 10): a
+        # constant-dominated Spark wall can jitter DOWN at 2x, and a
+        # ~40 ms DuckDB delta within rep spread would make the quotient
+        # arbitrary — report null and let the reader use the raw walls.
         ms, md = sm2 - sm1, om2 - om1
+        noise_s = statistics.pstdev(s1 + s2)
+        noise_d = statistics.pstdev(o1 + o2)
+        slopes_ok = ms > max(0.0, noise_s / 2) and md > max(0.0, noise_d / 2)
         out["queries"][query] = {
             "spark_1x": round(sm1, 4),
             "spark_2x": round(sm2, 4),
@@ -111,8 +119,8 @@ def main() -> None:
             "duckdb_reps": {"1x": o1, "2x": o2},
             "ratio_1x": round(sm1 / om1, 3),
             "ratio_2x": round(sm2 / om2, 3),
-            "marginal_ratio": round(ms / md, 3) if md > 0 else None,
-            "spark_fixed_est": round(sm1 - ms, 4),
+            "marginal_ratio": round(ms / md, 3) if slopes_ok else None,
+            "spark_fixed_est": round(sm1 - ms, 4) if slopes_ok else None,
         }
     print(json.dumps(out))
     spark.stop()

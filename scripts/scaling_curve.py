@@ -25,15 +25,9 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_DIR)
 
 from transilien_api_etl_spark import plans  # noqa: E402,F401
-from transilien_api_etl_spark.io import (  # noqa: E402
-    BUCKETED_DIR_CONF,
-    BUCKETED_TABLES_CONF,
-    load_table,
-)
 from transilien_api_etl_spark.plans.registry import REGISTRY  # noqa: E402
 from transilien_api_etl_spark.scale import materialize_scale, scale_dir_name  # noqa: E402
 from transilien_api_etl_spark.session import build_session  # noqa: E402
-from transilien_api_etl_spark.sources.sinks import ensure_bucketed_external  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -100,30 +94,14 @@ def time_oracles(data_dir: str, names, reps: int = 3) -> dict[str, float]:
 
 
 def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
-    # 2x cores, matching bench.py phase 2c (r6 bucket-count A/B)
-    n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bucket_dir = data_dir.rstrip("/") + f"_bucketed_v2_{n_buckets}"
-    for table, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        ensure_bucketed_external(
-            spark,
-            load_table(spark, data_dir, table),
-            f"{table}_bucketed",
-            os.path.join(bucket_dir, table),
-            [key],
-            n_buckets=n_buckets,
-            sort_cols=[key],
-            source_id=os.path.abspath(data_dir),
-        )
-    prev = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
-    spark.conf.set(BUCKETED_TABLES_CONF, "lineitem,orders")
-    spark.conf.set(BUCKETED_DIR_CONF, data_dir)
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    try:
+    """Same layout + conf routing as bench.py phase 2c — shared helpers
+    (code-review round 10: the previous inline copy had drifted from the
+    bench's stale-layout pruning, orphaning superseded multi-GB copies)."""
+    import bench
+
+    bench.ensure_bucketed_layout(spark, data_dir)
+    with bench.bucketed_confs(spark, data_dir):
         return time_queries(spark, data_dir, BUCKETED)
-    finally:
-        spark.conf.set(BUCKETED_TABLES_CONF, "")
-        spark.conf.set(BUCKETED_DIR_CONF, "")
-        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
 
 
 def main() -> None:

@@ -464,3 +464,49 @@ def test_time_paired_real_query_end_to_end(spark):
     assert duck_t["q1_pricing_summary"] > 0
     assert len(rreps["q1_pricing_summary"]) == 3
     assert ratio_t["q1_pricing_summary"] > 0
+
+
+def test_time_duckdb_binder_error_is_flagged_not_graded():
+    """Code-review round 10: a binder/config error (missing table, bad
+    SQL) must NOT be recorded as a cap-valued 'timeout lower bound' —
+    that would grade a broken setup as a decisive Spark win. It is
+    flagged as duckdb-error and the row gets NO timing at all."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    bad = QuerySpec(
+        name="broken_oracle_q",
+        fn=lambda s, d: None,
+        oracle="SELECT * FROM this_table_does_not_exist",
+    )
+    bench.REGISTRY.setdefault("broken_oracle_q", bad)
+    try:
+        skipped = []
+        timings, reps = bench.time_duckdb(
+            {"broken_oracle_q": bad}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert "broken_oracle_q" not in timings
+        assert any(s.startswith("duckdb-error:broken_oracle_q") for s in skipped)
+        assert not any("timeout" in s for s in skipped)
+    finally:
+        bench.REGISTRY.pop("broken_oracle_q", None)
+
+
+def test_time_paired_binder_error_skips_row_with_flag(monkeypatch, spark):
+    """Same contract on the paired path: an erroring oracle cannot be
+    paired — the row is skipped loudly, nothing is graded."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    spec = QuerySpec(
+        name="broken_paired_q",
+        fn=lambda s, d: s.range(1),
+        oracle="SELECT * FROM this_table_does_not_exist",
+    )
+    con = bench._duck_connect("/root/testdata/sf0.001")
+    skipped = []
+    out = bench.time_paired(
+        {"broken_paired_q": spec}, spark, "/root/testdata/sf0.001", con,
+        skipped=skipped, n_reps=2, steady_k=1, bench_variant=False,
+    )
+    con.close()
+    assert all(not d for d in out)  # all six result dicts empty
+    assert any(s.startswith("duckdb-error:broken_paired_q") for s in skipped)

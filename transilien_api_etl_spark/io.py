@@ -299,7 +299,14 @@ def _table_mtime(sf_dir: str, name: str) -> tuple:
                 if est.st_mtime_ns > max_ns:
                     max_ns = est.st_mtime_ns
     except OSError:
-        return (st.st_mtime_ns,)
+        # Fail OPEN: an unreadable dir must never serve a stale memo (the
+        # dir's own mtime alone is exactly the insufficient token this
+        # function exists to replace), so the token misses on every call
+        # until scandir succeeds — the cost is a redundant re-scan, never
+        # a wrong cached value (code-review round 10).
+        import time as _time
+
+        return (st.st_mtime_ns, _time.monotonic_ns())
     return (count, total, max_ns)
 
 
