@@ -82,6 +82,11 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flattened values buffer). Round 2's matmul-style arrow kernel had
     # measured SLOWER (1.39 s vs 1.26 s) — the flattened-buffer +
     # sequential-accumulation form is what wins; see BASELINE.md.
+    # Round 10 killed the last untried shape: unpacking to 64 scalar
+    # columns at rest (zero list access, zero Arrow transfer) is
+    # parity-to-worse with a stored norm and 3.7x worse with the norm
+    # inline (128-term codegen blows the HotSpot JIT method limit) —
+    # scripts/knn_flat_layout_ab.py, "flat-column kNN" in BASELINE.md.
     # Map-only into TakeOrderedAndProject; query vector is dim doubles
     # in the task closure.
     qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
