@@ -596,10 +596,12 @@ def time_duckdb(
     estimator+rep-count the Spark scale light rows use — see
     _oracle_rep_count for why symmetry is mandatory), 2 reps past the
     slow cutoff (with the same >2× third-rep tie-breaker the Spark side
-    applies — a 2-rep "median" is a mean on either engine), 1 past
-    VERY_SLOW_ORACLE_S (the 25–48 s sessionize/as-of oracles are
-    50–100× Spark blowouts where a third rep buys ~nothing and costs
-    ~70 s of the budget; VERDICT r7 task 2). Each run is
+    applies — a 2-rep "median" is a mean on either engine). The
+    ``oracle_heavy`` blowout tier past VERY_SLOW_ORACLE_S records its
+    measured warm run as the single rep (round 10: the 25–48 s
+    sessionize/as-of oracles are 25–100× Spark blowouts where a
+    duplicate run buys nothing, and its ~80 s starved the tier out of
+    the budget on a slow box — see the inline bias audit). Each run is
     watchdog-guarded (``con.interrupt()``): one pathological
     single-process oracle (the as-of/sessionize shapes take minutes at
     60 M rows) must not eat the whole budget of the remaining queries.
@@ -622,11 +624,22 @@ def time_duckdb(
         if not sql:
             continue
         sql = _hoist_qvec(name, sql)
-        if skipped is not None and remaining() <= 30:
+        # Near-death behavior (round 10 run 5): the old hard skip at
+        # remaining<=30 silently DROPPED whole rows on a slow box — that
+        # run lost the three biggest Spark-favoring blowouts
+        # (asof 0.008 / sessionize 0.029 / rolling_avg 0.02) and the
+        # measured-rows-only ratio_median jumped 0.8 -> 1.38 from the
+        # holes alone. A budget-shrunk cap instead records a FLAGGED
+        # lower bound (ratio <= spark/cap, decisive on every blowout),
+        # so budget death degrades the artifact gracefully rather than
+        # reshaping its headline by omission. 20/12 leaves the watchdog
+        # interrupt + grade/sidecar/stdout teardown ~10 s, measured in
+        # seconds not tens.
+        if skipped is not None and remaining() <= 20:
             skipped.append(f"duckdb:{name}")
             continue
         default_cap = REGISTRY[name].oracle_cap_s or 150.0
-        per_query_cap = max(10.0, min(default_cap, remaining() - 15))
+        per_query_cap = max(8.0, min(default_cap, remaining() - 12))
         warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
         if isinstance(warm_s, Exception):
             # A binder/config error is NOT a timeout: no timing is
@@ -645,6 +658,26 @@ def time_duckdb(
             timings[name] = round(per_query_cap, 4)
             raw_reps[name] = []  # no measured reps back this number
             print(f"# duckdb {name}: >={per_query_cap:.0f}s (cap)", file=sys.stderr)
+            continue
+        if specs[name].oracle_heavy and warm_s > VERY_SLOW_ORACLE_S:
+            # Blowout tier (round 10 run 5): the warm run IS the single
+            # rep — a duplicate 25-50 s run bought nothing on a tier the
+            # Spark side wins 25-100x, and its ~80 s was exactly what
+            # starved the tier out of the budget on a slow box. Bias
+            # audit: by the time tier 2 runs, the pass-ordered plain
+            # tier has already scanned the same fact tables on this
+            # shared connection and the OS page cache is hot from the
+            # Spark phase, so "cold" here is DuckDB-buffer-cold at
+            # worst — observed first-vs-second-rep inflation 1.04-1.7x
+            # on genuinely cold twin tables, bounded well below the
+            # 25-100x margins this tier is graded at, and the direction
+            # (inflated denominator) is visible in the sidecar reps.
+            timings[name] = round(warm_s, 4)
+            raw_reps[name] = [round(warm_s, 4)]
+            print(
+                f"# duckdb {name}: {warm_s:.3f}s single blowout-tier rep",
+                file=sys.stderr,
+            )
             continue
         raw = []
         hit_cap = False

@@ -510,3 +510,84 @@ def test_time_paired_binder_error_skips_row_with_flag(monkeypatch, spark):
     con.close()
     assert all(not d for d in out)  # all six result dicts empty
     assert any(s.startswith("duckdb-error:broken_paired_q") for s in skipped)
+
+
+def test_time_duckdb_blowout_tier_counts_warm_as_single_rep(monkeypatch):
+    """Round 10 run 5: an oracle_heavy row past VERY_SLOW_ORACLE_S used
+    to pay warm + one duplicate rep (~2x its 25-50 s wall); the warm run
+    now IS the single rep. One execution total, timing == that rep."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    calls = {"n": 0}
+    real = bench._guarded_run
+
+    def counting(con, sql, cap):
+        calls["n"] += 1
+        return real(con, sql, cap)
+
+    monkeypatch.setattr(bench, "_guarded_run", counting)
+    monkeypatch.setattr(bench, "VERY_SLOW_ORACLE_S", 0.0)
+    spec = QuerySpec(
+        name="blowout_q",
+        fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+        oracle_heavy=True,
+    )
+    bench.REGISTRY.setdefault("blowout_q", spec)
+    try:
+        skipped = []
+        timings, reps = bench.time_duckdb(
+            {"blowout_q": spec}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert calls["n"] == 1
+        assert reps["blowout_q"] == [timings["blowout_q"]]
+        assert skipped == []
+    finally:
+        bench.REGISTRY.pop("blowout_q", None)
+
+
+def test_time_duckdb_near_death_runs_with_shrunken_cap(monkeypatch):
+    """Round 10 run 5: at remaining=25 the old gate (<=30) dropped the
+    row entirely — three dropped Spark-favoring blowouts moved
+    ratio_median 0.8 -> 1.38 by omission. The row must now run under a
+    budget-shrunken cap and record a real timing."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "remaining", lambda: 25.0)
+    spec = QuerySpec(
+        name="near_death_q",
+        fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+    )
+    bench.REGISTRY.setdefault("near_death_q", spec)
+    try:
+        skipped = []
+        timings, reps = bench.time_duckdb(
+            {"near_death_q": spec}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert "near_death_q" in timings and reps["near_death_q"]
+        assert skipped == []
+    finally:
+        bench.REGISTRY.pop("near_death_q", None)
+
+
+def test_time_duckdb_true_death_still_skips(monkeypatch):
+    """Below the 20 s teardown floor nothing runs: the skip flag (not a
+    phantom timing) is the record."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "remaining", lambda: 15.0)
+    spec = QuerySpec(
+        name="dead_q",
+        fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+    )
+    bench.REGISTRY.setdefault("dead_q", spec)
+    try:
+        skipped = []
+        timings, _ = bench.time_duckdb(
+            {"dead_q": spec}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert timings == {} and "duckdb:dead_q" in skipped
+    finally:
+        bench.REGISTRY.pop("dead_q", None)
