@@ -141,16 +141,35 @@ VERY_SLOW_ORACLE_S = 20.0
 
 
 # The rows graded by the per-rep paired protocol (see module docstring):
-# the two bar-graded TPC-H rows (plain layout here; their bucketed twins
-# pair inside the bucketed phase) plus the three light rows whose
-# sub-0.26 s walls hovered at 1.8-1.9× under ratio-of-medians grading on
-# a host with a measured ±30-50% jitter floor (VERDICT r9 task 2).
+# originally the two bar-graded TPC-H rows (plain layout here; their
+# bucketed twins pair inside the bucketed phase) plus the three light
+# rows whose sub-0.26 s walls hovered at 1.8-1.9× under ratio-of-medians
+# grading on a host with a measured ±30-50% jitter floor (VERDICT r9
+# task 2). Round 10 run 5 extended it to the WHOLE fast tier — every row
+# where both engines' scale walls are sub-~4 s: on the degraded box, an
+# unpaired q1 graded 3.52 because its Spark reps landed in a slow window
+# and its oracle reps ran 40 minutes later in a calm one (runs 4-7 put
+# the same plan at 1.2-2.0), the exact split-phase failure mode pairing
+# exists to kill. Pairing such a row is COST-FREE: the same warm + 5
+# reps run on each engine, just alternated, and the row leaves the
+# end-of-run oracle pass. Rows staying phased: the heavy twins
+# (minhash/pq/semdedup/corpus/segment — 10-50 s oracles would stretch
+# the paired phase and their ratios are 0.07-0.5 blowouts), and the
+# oracle_heavy blowouts + rolling_avg (25-100× Spark-favoring; the
+# split-phase artifact cannot move a 0.02 ratio anywhere near a bar).
 PAIRED_ROWS = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "docs_token_stats",
     "topk_orders_per_customer",
     "docs_word_freq_top20",
+    "q1_pricing_summary",
+    "events_tumbling_1h",
+    "dedup_exact_docs",
+    "knn_cosine_top10",
+    "knn_sq8_top10",
+    "range_agg_prefix_sum",
+    "range_join_banded_global",
 )
 
 # One-line pointer from the grade block to the measured plain-q3/q5
