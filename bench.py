@@ -691,6 +691,15 @@ def time_duckdb(
             # on genuinely cold twin tables, bounded well below the
             # 25-100x margins this tier is graded at, and the direction
             # (inflated denominator) is visible in the sidecar reps.
+            # DELIBERATELY keyed on oracle_heavy, NOT on the warm-time
+            # tier alone (code-review round 10, finding rejected): the
+            # 40-50 s minhash twin oracle also clears VERY_SLOW, but
+            # that row grades at 0.5 where a 1.7x cold-inflated
+            # denominator would move the ratio 0.5 -> 0.3 — a material
+            # Spark-FAVORING skew on a graded deliverable. Twin-backed
+            # rows keep the warm-strip discipline; only rows whose
+            # 25-100x margins make the bias direction irrelevant may
+            # pay once.
             timings[name] = round(warm_s, 4)
             raw_reps[name] = [round(warm_s, 4)]
             print(
@@ -700,16 +709,26 @@ def time_duckdb(
             continue
         raw = []
         hit_cap = False
+        flagged = False
         for _ in range(_oracle_rep_count(warm_s)):
             # Re-derive the cap each rep: the budget keeps draining while
             # reps run, and a cap computed once before the warm rep could
             # let 3 near-cap reps overshoot BUDGET_S by minutes — an
             # external harness kill then loses the whole JSON line.
+            # Stop (rather than shrink to the 5 s floor) once another
+            # floor-capped rep could not leave the ~12 s teardown
+            # margin: with the lowered entry gate, two floor reps after
+            # a 7.9 s warm could otherwise drain to ~2 s and an
+            # external kill would lose the artifact (code-review
+            # round 10). Whatever reps exist are graded.
+            if remaining() - 12 < 5.0:
+                break
             cap = max(5.0, min(per_query_cap, remaining() - 15))
             elapsed = guarded_run(sql, cap)
             if isinstance(elapsed, Exception):
                 if skipped is not None:
                     skipped.append(f"duckdb-error:{name}:{str(elapsed)[:80]}")
+                    flagged = True
                 break  # grade whatever measured reps exist, if any
             if elapsed is None:
                 hit_cap = True
@@ -720,6 +739,11 @@ def time_duckdb(
             # A mid-rep interrupt is a lower bound too, not a measurement.
             skipped.append(f"duckdb-timeout-lower-bound:{name}")
         if not raw:
+            # Budget-break before any timed rep: the row is dropped
+            # LOUDLY (same flag as the entry gate), never silently —
+            # the warm run is not usable (warm-strip discipline).
+            if skipped is not None and not flagged:
+                skipped.append(f"duckdb:{name}")
             continue
         # 2-rep tie-breaker, same rule as the Spark side (ADVICE r9: the
         # tiers must not diverge): two reps disagreeing by >2× get a

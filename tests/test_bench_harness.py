@@ -527,6 +527,11 @@ def test_time_duckdb_blowout_tier_counts_warm_as_single_rep(monkeypatch):
 
     monkeypatch.setattr(bench, "_guarded_run", counting)
     monkeypatch.setattr(bench, "VERY_SLOW_ORACLE_S", 0.0)
+    # Pin the budget: _T_START is set at bench IMPORT (pytest collection),
+    # so on a slow full-suite run real remaining() can cross the entry
+    # gate and this test would assert against a skip instead
+    # (code-review round 10).
+    monkeypatch.setattr(bench, "remaining", lambda: 1000.0)
     spec = QuerySpec(
         name="blowout_q",
         fn=lambda s, d: None,
@@ -591,3 +596,29 @@ def test_time_duckdb_true_death_still_skips(monkeypatch):
         assert timings == {} and "duckdb:dead_q" in skipped
     finally:
         bench.REGISTRY.pop("dead_q", None)
+
+
+def test_time_duckdb_rep_loop_budget_break_flags_row(monkeypatch):
+    """Code-review round 10: once another floor-capped rep cannot leave
+    the ~12 s teardown margin, the rep loop stops instead of draining to
+    ~2 s — and a row whose warm ran but whose reps never did is dropped
+    LOUDLY (entry-gate flag), never silently."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    budget = iter([25.0] + [16.0] * 50)  # entry gate passes, reps cannot
+    monkeypatch.setattr(bench, "remaining", lambda: next(budget))
+    spec = QuerySpec(
+        name="rep_break_q",
+        fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+    )
+    bench.REGISTRY.setdefault("rep_break_q", spec)
+    try:
+        skipped = []
+        timings, _ = bench.time_duckdb(
+            {"rep_break_q": spec}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert timings == {}
+        assert skipped == ["duckdb:rep_break_q"]
+    finally:
+        bench.REGISTRY.pop("rep_break_q", None)
