@@ -45,9 +45,9 @@ queries). Each rep times the query end-to-end including its action
 (count of the materialized result — collect would measure Arrow
 transfer, which is the caller's cost, not the plan's).
 
-PER-REP PAIRED grading (round 10, VERDICT r9 tasks 1+2): the
-bar-sensitive sub-second rows — plain+bucketed q3/q5 and the three
-jitter-hovering light rows — are graded as the steady-window estimator
+PER-REP PAIRED grading (round 10, VERDICT r9 tasks 1+2; extended to the
+whole fast tier after run 5): every row where both engines' scale walls
+are sub-~4 s — see PAIRED_ROWS — is graded as the steady-window estimator
 over PER-REP quotients spark_i/duck_i, with the two engines' reps
 ALTERNATED in time (Spark rep i immediately followed by oracle rep i).
 A host interference storm then lands on BOTH sides of the same quotient
