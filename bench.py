@@ -168,6 +168,7 @@ PAIRED_ROWS = (
     "dedup_exact_docs",
     "knn_cosine_top10",
     "knn_sq8_top10",
+    "knn_rerank_top10",
     "range_agg_prefix_sum",
     "range_join_banded_global",
 )
@@ -204,6 +205,10 @@ QVEC_HOIST = {
         "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
     ),
     "knn_sq8_top10": "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+    # rerank's TIMED sql is its bench_oracle (pipeline twin) — same q-CTE
+    # form as knn_sq8; the plain (exact-truth) oracle is correctness-only
+    # and never timed, so it carries no marker.
+    "knn_rerank_top10": "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
 }
 QVEC_REPLACEMENT = "q AS (SELECT qv FROM q_vec)"
 

@@ -37,10 +37,20 @@ VARIANT_SPECS = [
 ]
 
 
+# Variant rows whose twin exists for ALGORITHM parity, not corpus
+# reduction: the registered oracle is an exact-truth check (so the driver
+# hash-match proves recall), while the graded bench twin makes DuckDB run
+# the same approximate pipeline Spark runs. These are light rows — the
+# "every variant row is bench_heavy" rule below is about corpus-reduction
+# twins (a light row never needs its corpus reduced).
+_PARITY_VARIANTS = {"knn_rerank_top10"}
+
+
 def test_variant_rows_are_heavy_bench_rows():
     assert VARIANT_SPECS, "minhash variant should be registered"
     for s in VARIANT_SPECS:
-        assert s.bench and s.bench_heavy, s.name
+        assert s.bench, s.name
+        assert s.bench_heavy or s.name in _PARITY_VARIANTS, s.name
         # a variant must replace BOTH sides or the ratio compares
         # different corpora
         assert s.bench_fn is not None and s.bench_oracle is not None, s.name
@@ -191,3 +201,33 @@ def test_bench_py_selects_variant_only_in_variant_mode(spark, name):
     bench.time_spark({name: probe_spec}, spark, SF_SMOKE, bench_variant=True)
     bench.time_spark({name: probe_spec}, spark, SF_SMOKE, bench_variant=False)
     assert seen[0] == "bench_fn" and "fn" in seen[len(seen) // 2 :]
+
+
+# ---- round-11 parity variant: knn_rerank_top10 -------------------------
+# Inverted twin relationship (VERDICT r10 task 2): fn IS the approximate
+# pipeline (SQ8 candidates -> exact re-rank), the registered oracle is the
+# EXACT kNN truth, and the bench twin mirrors the pipeline in DuckDB. The
+# contract: (a) bench_fn is literally fn (nothing reduced on the Spark
+# side), (b) the pipeline twin's output equals the exact oracle's on
+# driver data — i.e. recall 1.0, the same property the driver's
+# hash-match certifies end-to-end.
+
+
+def test_rerank_bench_fn_is_fn():
+    s = REGISTRY["knn_rerank_top10"]
+    assert s.bench_fn is s.fn
+
+
+def test_rerank_pipeline_twin_equals_exact_oracle(duck):
+    s = REGISTRY["knn_rerank_top10"]
+    exact = duck.execute(s.oracle).fetchall()
+    twin = duck.execute(s.bench_oracle).fetchall()
+    assert len(exact) == 10
+    assert twin == exact
+
+
+def test_rerank_candidate_budget_embedded():
+    from transilien_api_etl_spark.plans.quantize_q import RERANK_CANDIDATES
+
+    s = REGISTRY["knn_rerank_top10"]
+    assert f"LIMIT {RERANK_CANDIDATES}" in s.bench_oracle

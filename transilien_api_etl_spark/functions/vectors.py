@@ -111,8 +111,17 @@ def cosine_scores_arrow(
     dim_transform=None,
     topk_prefilter: int | None = None,
     topk_round_dp: int = 8,
+    keep_vec: bool = False,
 ):
     """Query-vs-corpus cosine as an Arrow-batched numpy kernel.
+
+    ``keep_vec=True`` additionally emits the raw ``vec_col`` for the kept
+    rows (selection-only passthrough — scores and selection are unchanged
+    bits). This is the ANN candidate-generation shape: with
+    ``topk_prefilter`` set, only ~k vectors per batch cross back to the
+    JVM carrying their floats, so a downstream EXACT re-rank reads the
+    candidates from the candidate stream itself instead of re-scanning
+    the corpus for a join (knn_rerank_top10 — one corpus pass total).
 
     Replays ``cosine_from_norms``'s arithmetic in the same sequential
     dim-by-dim order on IEEE doubles (vectorized ACROSS rows over the
@@ -190,12 +199,19 @@ def cosine_scores_arrow(
                     len(cos) - topk_prefilter
                 ]
                 keep = cos >= kth - tie_margin
-                vid = vid.filter(pa.array(keep))
+                mask = pa.array(keep)
+                vid = vid.filter(mask)
+                if keep_vec:
+                    vecs = vecs.filter(mask)
                 cos = cos[keep]
-            yield pa.RecordBatch.from_arrays(
-                [vid, pa.array(cos)], [id_col, out_col]
-            )
+            arrays = [vid, pa.array(cos)]
+            names = [id_col, out_col]
+            if keep_vec:
+                arrays.append(vecs)
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return df.select(id_col, vec_col).mapInArrow(
-        score, f"{id_col} long, {out_col} double"
-    )
+    out_schema = f"{id_col} long, {out_col} double"
+    if keep_vec:
+        out_schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
+    return df.select(id_col, vec_col).mapInArrow(score, out_schema)

@@ -133,6 +133,7 @@ def sq8_cosine_arrow(
     vec_col: str = "embedding",
     topk_prefilter: int | None = None,
     topk_round_dp: int = 8,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Encode+dequant+cosine as ONE Arrow-batched numpy kernel — the
     vectorized quantized scan. Returns (id_col, cos_q8) with cos_q8
@@ -190,5 +191,6 @@ def sq8_cosine_arrow(
         out_col="cos_q8",
         topk_prefilter=topk_prefilter,
         topk_round_dp=topk_round_dp,
+        keep_vec=keep_vec,
         dim_transform=dequant,
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.functions.vectors import dot, l2_norm
+from transilien_api_etl_spark.functions.vectors import cosine_from_norms, dot, l2_norm
 from transilien_api_etl_spark.io import cached_query_embedding, load_table
 from transilien_api_etl_spark.operators.quantize import (
     sq8_cosine_arrow,
@@ -239,3 +239,108 @@ def knn_ivf_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_q8"), "vec_id")
         .limit(10)
     )
+
+
+# ANN-rerank candidate budget (VERDICT r10 task 2). At driver SFs with
+# corpus ≤ RERANK_CANDIDATES the prune is a no-op (recall 1.0 BY
+# CONSTRUCTION); at sf0.1 (2 000 vectors) it genuinely halves the corpus
+# and the driver's hash-match against the EXACT oracle is an end-to-end
+# recall-1.0 proof; tests/test_knn_rerank.py asserts the same on a
+# synthetic corpus where the prune bites 5:1.
+RERANK_CANDIDATES = 1000
+
+
+def _knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_stats_model(emb)
+    qvec = cached_query_embedding(spark, sf_dir, vec_id=0)
+    if qvec is None:  # no query vector: empty result, same as the oracle
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    qn = 0.0
+    for x in qvec:  # same sequential fold as l2_norm / list_inner_product
+        qn += x * x
+    qn = qn ** 0.5
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # Stage 1 — candidate generation: the knn_sq8_top10 asymmetric
+    # quantized scan, but with topk_prefilter=C and keep_vec=True, so each
+    # Arrow batch hands back only its tie-safe top-C superset WITH the raw
+    # float vectors attached. ONE corpus pass total: the exact re-rank
+    # below reads the candidates' floats from this stream instead of
+    # re-scanning the corpus for a join (at 100 TB: the ANN index stores
+    # the vectors next to the codes for exactly this reason).
+    cand = (
+        sq8_cosine_arrow(
+            corpus, mins, maxs, qvec, qn,
+            topk_prefilter=RERANK_CANDIDATES, topk_round_dp=8, keep_vec=True,
+        )
+        .orderBy(F.desc("cos_q8"), "vec_id")
+        .limit(RERANK_CANDIDATES)
+    )
+    # Stage 2 — exact re-rank over ≤C rows: the JVM HOF fold
+    # (cosine_from_norms — the same sequential arithmetic the exact-kNN
+    # oracle hashes against; parity proven by knn_ivf_top10's MATCH).
+    # C·dim is tiny, so the fold's per-row cost is irrelevant here.
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = cosine_from_norms(
+        F.col("embedding"), qv, l2_norm(F.col("embedding")), F.lit(qn)
+    )
+    return (
+        cand.select("vec_id", F.round(exact, 8).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# Exact-cosine SQL on the raw corpus (same arithmetic knn_cosine_top10's
+# oracle uses, over the e-CTE's DOUBLE[] view).
+_EXACT_COS_E = (
+    "(list_inner_product(e.v, q.qv) / "
+    "(sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))))"
+)
+
+register(
+    "knn_rerank_top10",
+    doc="ANN + exact re-rank — the production 100 TB kNN shape (VERDICT "
+    "r10 task 2 mandate): SQ8 quantized scan prunes the corpus to the "
+    f"top-{RERANK_CANDIDATES} candidates (4x fewer bytes at rest, one "
+    "map-only pass, per-batch top-C supersets into TakeOrdered), then "
+    "exact float cosine re-ranks ONLY the candidates for the final "
+    "top-10. The correctness oracle is the EXACT kNN SQL — a driver "
+    "hash-match IS an end-to-end recall-1.0 proof. The graded bench "
+    "twin (bench_oracle) makes DuckDB run the same candidates+re-rank "
+    "pipeline, so the ratio compares equal computations.",
+    tags=("vectors", "knn", "quantize", "rerank"),
+    bench=True,
+    # Correctness: EXACT truth, not the pipeline — recall is what's checked.
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round({_EXACT_COS_E}, 8) AS cos_sim
+FROM e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+    # Bench twin: DuckDB runs the SAME SQ8-candidates → exact-re-rank
+    # pipeline (equal computation on both engines; value-identical to the
+    # exact oracle whenever recall is 1.0 — asserted on driver data by
+    # tests/test_bench_variants.py).
+    bench_fn=_knn_rerank,
+    bench_oracle=f"""
+WITH {_SQ8_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT dq.vec_id
+  FROM dq, q
+  WHERE dq.vec_id <> 0
+  ORDER BY (list_inner_product(dq.dqv, q.qv)
+            / (sqrt(list_inner_product(dq.dqv, dq.dqv))
+               * sqrt(list_inner_product(q.qv, q.qv)))) DESC, dq.vec_id
+  LIMIT {RERANK_CANDIDATES})
+SELECT e.vec_id, round({_EXACT_COS_E}, 8) AS cos_sim
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)(_knn_rerank)
