@@ -139,6 +139,20 @@ SLOW_QUERY_CUTOFF_S = 5.0
 # keep the stricter 2-rep floor: Spark medians are the GRADED numerators.
 VERY_SLOW_ORACLE_S = 20.0
 
+# Budget kept in reserve for teardown (watchdog interrupt + grade/sidecar/
+# stdout emission — measured in seconds, not tens). Every near-death gate
+# and cap in the oracle rep loop derives from this ONE constant plus the
+# rep floor (ADVICE r10: three slightly different literals — 20/12/15 —
+# made the teardown invariant unauditable):
+#   entry gate     remaining <= TEARDOWN_MARGIN_S + WARM_CAP_FLOOR_S
+#   warm/rep cap   min(default, remaining - TEARDOWN_MARGIN_S) (floored)
+#   rep-loop stop  remaining - TEARDOWN_MARGIN_S < REP_CAP_FLOOR_S
+# so a rep is admitted only when its floor-capped worst case still ends
+# with the full teardown margin intact.
+TEARDOWN_MARGIN_S = 12.0
+WARM_CAP_FLOOR_S = 8.0
+REP_CAP_FLOOR_S = 5.0
+
 
 # The rows graded by the per-rep paired protocol (see module docstring):
 # originally the two bar-graded TPC-H rows (plain layout here; their
@@ -656,14 +670,15 @@ def time_duckdb(
         # holes alone. A budget-shrunk cap instead records a FLAGGED
         # lower bound (ratio <= spark/cap, decisive on every blowout),
         # so budget death degrades the artifact gracefully rather than
-        # reshaping its headline by omission. 20/12 leaves the watchdog
-        # interrupt + grade/sidecar/stdout teardown ~10 s, measured in
-        # seconds not tens.
-        if skipped is not None and remaining() <= 20:
+        # reshaping its headline by omission. Margins all derive from
+        # TEARDOWN_MARGIN_S (see its comment block).
+        if skipped is not None and remaining() <= TEARDOWN_MARGIN_S + WARM_CAP_FLOOR_S:
             skipped.append(f"duckdb:{name}")
             continue
         default_cap = REGISTRY[name].oracle_cap_s or 150.0
-        per_query_cap = max(8.0, min(default_cap, remaining() - 12))
+        per_query_cap = max(
+            WARM_CAP_FLOOR_S, min(default_cap, remaining() - TEARDOWN_MARGIN_S)
+        )
         warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
         if isinstance(warm_s, Exception):
             # A binder/config error is NOT a timeout: no timing is
@@ -720,15 +735,18 @@ def time_duckdb(
             # reps run, and a cap computed once before the warm rep could
             # let 3 near-cap reps overshoot BUDGET_S by minutes — an
             # external harness kill then loses the whole JSON line.
-            # Stop (rather than shrink to the 5 s floor) once another
-            # floor-capped rep could not leave the ~12 s teardown
-            # margin: with the lowered entry gate, two floor reps after
-            # a 7.9 s warm could otherwise drain to ~2 s and an
-            # external kill would lose the artifact (code-review
-            # round 10). Whatever reps exist are graded.
-            if remaining() - 12 < 5.0:
+            # Stop (rather than shrink to the floor) once another
+            # floor-capped rep could not leave the teardown margin:
+            # with the lowered entry gate, two floor reps after a 7.9 s
+            # warm could otherwise drain to ~2 s and an external kill
+            # would lose the artifact (code-review round 10). Whatever
+            # reps exist are graded.
+            if remaining() - TEARDOWN_MARGIN_S < REP_CAP_FLOOR_S:
                 break
-            cap = max(5.0, min(per_query_cap, remaining() - 15))
+            cap = max(
+                REP_CAP_FLOOR_S,
+                min(per_query_cap, remaining() - TEARDOWN_MARGIN_S),
+            )
             elapsed = guarded_run(sql, cap)
             if isinstance(elapsed, Exception):
                 if skipped is not None:
@@ -759,7 +777,10 @@ def time_duckdb(
             and max(raw) > 2 * min(raw)
             and remaining() > min(raw) + 30
         ):
-            cap = max(5.0, min(per_query_cap, remaining() - 15))
+            cap = max(
+                REP_CAP_FLOOR_S,
+                min(per_query_cap, remaining() - TEARDOWN_MARGIN_S),
+            )
             elapsed = guarded_run(sql, cap)
             # The tie-break rep obeys the same audit contract as any
             # other rep (code-review round 10): a cap hit rides as a
@@ -834,14 +855,33 @@ def time_paired(
         sql = (spec.bench_oracle or spec.oracle) if bench_variant else spec.oracle
         assert sql, f"{name}: paired grading needs an oracle"
         sql = _hoist_qvec(name, sql)
+        # Near-death behavior (ADVICE r10, mirroring time_duckdb's
+        # caps-not-holes rule): below the comfortable entry gate the row
+        # degrades to ONE cold/cold pair — no warm-ups, one Spark rep
+        # immediately followed by one capped oracle rep — and is FLAGGED,
+        # instead of silently vanishing from the ratio_median the way the
+        # old hard skip did. The cold pair is a legitimate (if noisier)
+        # quotient: pairing absorbs the dying box's state on both sides
+        # of the division. Only when even one pair cannot leave the
+        # teardown margin (remaining <= 15) is the row dropped, loudly.
+        degraded = False
         if skipped is not None and remaining() <= 30:
-            skipped.append(f"{skip_label}:{name}")
-            continue
+            if remaining() <= 15:
+                skipped.append(f"{skip_label}:{name}")
+                continue
+            degraded = True
+            skipped.append(f"paired-degraded-cold-pair:{name}")
         default_cap = spec.oracle_cap_s or 150.0
         n = None  # row count from the last warm-up, for the audit print
-        for _ in range(n_warm):  # untimed Spark warm-ups (cold cache + JIT)
-            n = fn(spark, data_dir).count()
-        warm_d = _guarded_run(con, sql, max(10.0, min(default_cap, remaining() - 15)))
+        warm_d = None
+        if not degraded:
+            for _ in range(n_warm):  # untimed Spark warm-ups (cold cache + JIT)
+                n = fn(spark, data_dir).count()
+            warm_d = _guarded_run(
+                con,
+                sql,
+                max(10.0, min(default_cap, remaining() - TEARDOWN_MARGIN_S)),
+            )
         if isinstance(warm_d, Exception):
             # A binder/config error is NOT a timeout: the row cannot be
             # paired at all — flag loudly, record nothing (code-review
@@ -853,7 +893,7 @@ def time_paired(
         s_raw: list[float] = []
         d_raw: list[float] = []
         hit_cap = False
-        for _ in range(n_reps):
+        for _ in range(1 if degraded else n_reps):
             last_pair = (s_raw[-1] + d_raw[-1]) if s_raw else 0.0
             if s_raw and remaining() < last_pair + 30:
                 if skipped is not None:
@@ -862,7 +902,10 @@ def time_paired(
             t0 = time.perf_counter()
             fn(spark, data_dir).count()
             s_spent = round(time.perf_counter() - t0, 4)
-            cap = max(5.0, min(default_cap, remaining() - 15))
+            cap = max(
+                REP_CAP_FLOOR_S,
+                min(default_cap, remaining() - TEARDOWN_MARGIN_S),
+            )
             elapsed = _guarded_run(con, sql, cap)
             if isinstance(elapsed, Exception):
                 # drop the unpaired Spark rep too: quotients stay paired
@@ -985,7 +1028,11 @@ def main() -> None:
                 "warm AND first timed rep exceed the slow cutoff — the "
                 "rep-list length in *_reps shows which), "
                 "heavy=median_of_warm_reps, "
-                "paired rows=steady3 over per-rep spark_i/duck_i quotients"
+                "paired rows=steady3 over per-rep spark_i/duck_i quotients, "
+                "oracle_heavy blowouts past the very-slow cutoff=single "
+                "measured warm-run rep (raw_reps length 1 shows which; "
+                "bias direction inflates the DuckDB denominator, bounded "
+                "1.04-1.7x vs the 25-100x margins those rows grade at)"
             ),
             "spark": spark_t,
             "spark_reps": spark_reps,

@@ -28,6 +28,21 @@ assert len(rows) > 0
 con = duckdb.connect()
 con.execute("SET temp_directory='/tmp/duckdb_contract_spill.tmp'")  # never spill into the CWD/repo
 SF = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
+
+# Known 0-row-at-one-SF queries (VERDICT r10 task 6b): both are selective
+# HAVING/EXCEPT shapes whose driver-SF result is non-empty — the sf0.1
+# empties are a data-distribution artifact of that SF's value ranges, and
+# the note (emitted into the artifact whenever a 0-row MATCH occurs)
+# points a reader at the round where the same query matched non-trivially.
+_ZERO_ROW_NOTES = {
+    "q11_important_part_value": "376 rows MATCH at sf0.01 (CORRECTNESS_r04); "
+    "at sf0.1 the 0.1%-of-total cut exceeds every one of 12207 per-part "
+    "values (the threshold scales with part count: ~12x the mean there vs "
+    "~1.2x over 1160 parts at sf0.01)",
+    "setop_except": "5 rows MATCH at sf0.01 (CORRECTNESS_r01/r05/r09); at "
+    "sf0.1 every customer nationkey also has a supplier with acctbal>5000, "
+    "so EXCEPT is legitimately empty",
+}
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -88,6 +103,14 @@ for name, fn in sorted(qs.items()):
     if not all(m) and _spec is not None and _spec.by_design:
         report[name]["by_design"] = _spec.by_design
         status += " (by design — see 'by_design' in the artifact)"
+    # A 0-row MATCH is a weak check (VERDICT r10 task 6b): flag it in the
+    # artifact with the query's non-trivial row counts at the OTHER driver
+    # SFs, so a sweep reader sees the green is a data-distribution
+    # artifact of this SF, not a vacuous always-empty comparison.
+    if all(m) and len(spdf) == 0:
+        note = _ZERO_ROW_NOTES.get(name, "no known non-empty SF — verify")
+        report[name]["zero_row_note"] = note
+        status += " (0 rows — see 'zero_row_note')"
     print(f"  {status} {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     ok += all(m); bad += not all(m)
 out_path = os.environ.get("SPARK_GRAFT_CONTRACT_OUT")

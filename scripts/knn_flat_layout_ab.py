@@ -143,10 +143,16 @@ def main() -> None:
         "knn_cosine_top10", REGISTRY["knn_cosine_top10"].oracle
     )
     con.execute(f"CREATE VIEW embeddings_flat AS SELECT * FROM read_parquet('{flat}/*.parquet')")
+    # Strict symmetry (ADVICE r10): the Spark flat variant carries the
+    # precomputed scalar query norm, so the DuckDB flat variant must not
+    # recompute sqrt(q·q) inside every timed rep — hoist it into the
+    # untimed q_vec temp table alongside the vector itself.
+    con.execute("ALTER TABLE q_vec ADD COLUMN qn DOUBLE")
+    con.execute("UPDATE q_vec SET qn = sqrt(list_inner_product(qv, qv))")
     dot_terms = " + ".join(f"q.qv[{i + 1}] * e.e_{i:02d}::DOUBLE" for i in range(DIM))
     sq_terms = " + ".join(f"e.e_{i:02d}::DOUBLE * e.e_{i:02d}::DOUBLE" for i in range(DIM))
     sql_flat = f"""
-SELECT e.vec_id, round(({dot_terms}) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt({sq_terms})), 8) AS cos_sim
+SELECT e.vec_id, round(({dot_terms}) / (q.qn * sqrt({sq_terms})), 8) AS cos_sim
 FROM embeddings_flat e, q_vec q WHERE e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
     for name, sql in (("duckdb_list", sql_list), ("duckdb_flat", sql_flat)):

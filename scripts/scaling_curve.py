@@ -51,6 +51,13 @@ BUCKETED = ("q3_shipping_priority", "q5_local_supplier")
 X1 = {"lineitem": 100, "orders": 100, "events": 100,
       "documents": 200, "embeddings": 500}
 X2 = {"lineitem": 200, "orders": 200, "events": 200}
+# Focused 4x extension (VERDICT r10 task 1): only the two plain-graded
+# TPC-H rows are probed past 2x, so the caches carry only the tables
+# q3/q5 read (lineitem+orders; dims are copied unscaled). 240 M lineitem
+# ≈ 8 GB parquet — fits the box; events/documents/embeddings at 4x would
+# quadruple the write for rows this margin does not adjudicate.
+X2F = {"lineitem": 200, "orders": 200}
+X4F = {"lineitem": 400, "orders": 400}
 
 
 def time_queries(spark, data_dir: str, names, reps: int = 3) -> dict[str, float]:
@@ -102,6 +109,64 @@ def bucketed_phase(spark, data_dir: str) -> dict[str, float]:
     bench.ensure_bucketed_layout(spark, data_dir)
     with bench.bucketed_confs(spark, data_dir):
         return time_queries(spark, data_dir, BUCKETED)
+
+
+def main_4x() -> None:
+    """Three-scale plain-q3/q5 probe (VERDICT r10 task 1): 1x (the bench
+    scale cache), 2x, 4x (240 M lineitem). Reports per-scale Spark/DuckDB
+    ratios and the MARGINAL (slope) ratio Δspark/Δduck at BOTH margins —
+    the 100 TB-relevant number: what one more row costs each engine once
+    the fixed scheduling/codegen constant is amortized."""
+    spark = build_session(app_name="scaling-curve-4x")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scales = {
+        "1x": (os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X1)), X1),
+        "2x": (os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X2F)), X2F),
+        "4x": (os.path.join(REPO_DIR, ".scale_cache", scale_dir_name(X4F)), X4F),
+    }
+    rows: dict[str, dict[str, int]] = {}
+    t0 = time.perf_counter()
+    for label, (d, factors) in scales.items():
+        rows[label] = materialize_scale(spark, SF_DIR, d, factors)
+    print(f"# caches ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # Timing order: per SCALE ascending, Spark then DuckDB per scale, with
+    # a warm scan first — the r10 run-1 lesson (a curve phase sharing the
+    # box with a fresh multi-GB write measures page-cache churn, not the
+    # plan) is why materialization fully precedes every timed rep.
+    t: dict[str, dict[str, float]] = {}
+    o: dict[str, dict[str, float]] = {}
+    for label, (d, _) in scales.items():
+        REGISTRY["q1_pricing_summary"].fn(spark, d).count()  # warm the cache
+        t[label] = time_queries(spark, d, BUCKETED)
+        o[label] = time_oracles(d, BUCKETED)
+
+    ratio = {
+        label: {q: round(t[label][q] / o[label][q], 3) for q in BUCKETED}
+        for label in scales
+    }
+    marginal = {
+        f"{a}->{b}": {
+            q: round((t[b][q] - t[a][q]) / (o[b][q] - o[a][q]), 3)
+            for q in BUCKETED
+            if o[b][q] > o[a][q]
+        }
+        for a, b in (("1x", "2x"), ("2x", "4x"))
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve_4x",
+                "rows": rows,
+                "t_spark": t,
+                "t_duckdb": o,
+                "ratio": ratio,
+                "marginal_ratio": marginal,
+            }
+        )
+    )
+    spark.stop()
 
 
 def main() -> None:
@@ -160,4 +225,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "4x" in sys.argv[1:]:
+        main_4x()
+    else:
+        main()

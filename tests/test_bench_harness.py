@@ -622,3 +622,60 @@ def test_time_duckdb_rep_loop_budget_break_flags_row(monkeypatch):
         assert skipped == ["duckdb:rep_break_q"]
     finally:
         bench.REGISTRY.pop("rep_break_q", None)
+
+
+def _degraded_paired_harness(monkeypatch, remaining_s):
+    """time_paired under a near-death budget (ADVICE r10): scripted clock,
+    one 0.2 s Spark rep, oracle reps return 0.1 s."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "remaining", lambda: remaining_s)
+    log = []
+
+    class FakeResult:
+        def count(self):
+            log.append("S")
+            return 1
+
+    spec = QuerySpec(name="fake_q", fn=lambda s, d: FakeResult(), oracle="SELECT 1")
+    monkeypatch.setitem(bench.REGISTRY, "fake_q", spec)
+
+    clock = {"now": 0.0}
+
+    def fake_counter():
+        clock["now"] += 0.1
+        return clock["now"]
+
+    def fake_guarded(con, sql, cap):
+        log.append("D")
+        return 0.1
+
+    monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
+    monkeypatch.setattr(bench, "_guarded_run", fake_guarded)
+    skipped = []
+    out = bench.time_paired(
+        {"fake_q": spec}, spark=None, data_dir="/nowhere", con=None,
+        skipped=skipped, n_reps=5, steady_k=3, n_warm=1, bench_variant=False,
+    )
+    return out, log, skipped
+
+
+def test_time_paired_near_death_degrades_to_flagged_cold_pair(monkeypatch):
+    """Between the entry gate (30 s) and the drop floor (15 s), a paired
+    row must still be GRADED — one cold Spark rep paired with one oracle
+    rep, no warm-ups — and flagged, not silently removed from the
+    ratio_median (the caps-not-holes rule time_duckdb already follows)."""
+    out, log, skipped = _degraded_paired_harness(monkeypatch, remaining_s=20.0)
+    spark_t, sreps, duck_t, dreps, ratio_t, rreps = out
+    assert "fake_q" in ratio_t  # the row IS graded
+    assert len(sreps["fake_q"]) == 1 and len(dreps["fake_q"]) == 1
+    assert log == ["S", "D"]  # exactly one pair, zero warm-ups
+    assert "paired-degraded-cold-pair:fake_q" in skipped
+
+
+def test_time_paired_below_teardown_floor_drops_loudly(monkeypatch):
+    out, log, skipped = _degraded_paired_harness(monkeypatch, remaining_s=12.0)
+    _, _, _, _, ratio_t, _ = out
+    assert ratio_t == {}
+    assert log == []  # nothing ran
+    assert "paired:fake_q" in skipped

@@ -140,3 +140,37 @@ def test_in_place_rewrite_of_dir_table_misses_memo(spark, tmp_path):
     os.utime(part, ns=(file_stat.st_atime_ns, file_stat.st_mtime_ns))
     os.utime(table_dir, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
     assert io_mod.cached_row_count(spark, sf, "region") == 37
+
+
+def test_unreadable_dir_token_always_misses(tmp_path, monkeypatch):
+    """The fail-open branch (VERDICT r10 task 6a): an unreadable directory
+    table must yield a FRESH token on every call — a permanent cache miss,
+    never a stale hit — and the token must not collide with any readable
+    dir's (count, total, max_mtime) shape (count/total are never -1).
+    scandir is monkeypatched to fail (chmod 000 is moot under root, which
+    bypasses mode bits)."""
+    import os
+
+    from transilien_api_etl_spark import io as io_mod
+
+    table_dir = tmp_path / "region.parquet"
+    table_dir.mkdir()
+    (table_dir / "part-0.parquet").write_bytes(b"x")
+
+    real_scandir = os.scandir
+
+    def denied(path):
+        if str(path) == str(table_dir):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_scandir(path)
+
+    monkeypatch.setattr(io_mod.os, "scandir", denied)
+    t1 = io_mod._table_mtime(str(tmp_path), "region")
+    t2 = io_mod._table_mtime(str(tmp_path), "region")
+    assert len(t1) == len(t2) == 3
+    assert t1[:2] == t2[:2] == (-1, -1)
+    assert t1 != t2  # monotonic component: every call misses
+
+    monkeypatch.setattr(io_mod.os, "scandir", real_scandir)
+    readable = io_mod._table_mtime(str(tmp_path), "region")
+    assert len(readable) == 3 and readable[0] == 1  # one part file

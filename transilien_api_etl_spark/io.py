@@ -9,6 +9,7 @@ pass over every file.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -303,10 +304,12 @@ def _table_mtime(sf_dir: str, name: str) -> tuple:
         # dir's own mtime alone is exactly the insufficient token this
         # function exists to replace), so the token misses on every call
         # until scandir succeeds — the cost is a redundant re-scan, never
-        # a wrong cached value (code-review round 10).
-        import time as _time
-
-        return (st.st_mtime_ns, _time.monotonic_ns())
+        # a wrong cached value (code-review round 10). Shaped like the
+        # readable-dir token (3-tuple) with impossible count/total
+        # sentinels, so no collision with a real token is possible
+        # (VERDICT r10 task 6a tidy; test_materialize_small.py covers
+        # the branch).
+        return (-1, -1, time.monotonic_ns())
     return (count, total, max_ns)
 
 
