@@ -188,13 +188,18 @@ PAIRED_ROWS = (
 )
 
 # One-line pointer from the grade block to the measured plain-q3/q5
-# amortization curve (VERDICT r9 task 3; BASELINE.md "Round-10: the plain
-# q3/q5 amortization curve"): ratio falls with data because the numerator
-# is constant-dominated, and the fitted SLOPE (marginal cost per row,
-# what survives at 100 TB) is at/under the 2x bar for both rows.
+# scaling record (VERDICT r9 task 3 + r10 task 1; BASELINE.md "Round-11:
+# the 4x curve point"): Spark's growth is LINEAR at both margins
+# (1.6-2.0x per 2x data, 60M->120M->240M lineitem), the decomposition
+# puts the whole marginal cost in the fact-fact exchange (agg adds ~0),
+# and three fix candidates A/B'd negative (partitions 64/128, AQE
+# runtime broadcast, spill) — the over-bar plain ratio is the exchange
+# the bucketed layout (graded 1.4-1.7, under bar) deletes.
 PLAIN_NOTE: str | None = (
-    "plain q3/q5 constant-dominated: ratio 5.05->3.54 / 3.82->2.39 at "
-    "1x->2x data; marginal(slope) ratio ~2.1/~1.2 (BASELINE.md r10 curve)"
+    "plain q3/q5: Spark growth linear at both margins (1x->2x->4x, 240M "
+    "rows); marginal cost = the fact-fact exchange (decomposed, 3 fixes "
+    "A/B'd negative); bucketed layout deletes it, graded <1.8 "
+    "(BASELINE.md r11 4x curve)"
 )
 
 # Query-vector hoist (ADVICE r9, medium): Spark's kNN plans read the

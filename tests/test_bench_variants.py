@@ -30,27 +30,30 @@ from transilien_api_etl_spark.plans.text_q import (
 )
 from transilien_api_etl_spark.scale import KEY_STRIDE
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 VARIANT_SPECS = [
     s for s in REGISTRY.values() if s.bench_fn is not None or s.bench_oracle is not None
 ]
 
 
-# Variant rows whose twin exists for ALGORITHM parity, not corpus
-# reduction: the registered oracle is an exact-truth check (so the driver
-# hash-match proves recall), while the graded bench twin makes DuckDB run
-# the same approximate pipeline Spark runs. These are light rows — the
-# "every variant row is bench_heavy" rule below is about corpus-reduction
-# twins (a light row never needs its corpus reduced).
-_PARITY_VARIANTS = {"knn_rerank_top10"}
+# Variant rows whose twin is NOT a corpus reduction — the "every variant
+# row is bench_heavy" rule below is about corpus-reduction twins (a light
+# row never needs its corpus reduced):
+# - parity twins (knn_rerank_top10): the registered oracle is an
+#   exact-truth check (the driver hash-match proves recall), while the
+#   graded bench twin makes DuckDB run the same approximate pipeline
+#   Spark runs;
+# - amplified twins (docs_word_freq_top20): both engines replicate the
+#   corpus inline so the graded number clears the sub-jitter floor.
+_LIGHT_VARIANTS = {"knn_rerank_top10", "docs_word_freq_top20"}
 
 
 def test_variant_rows_are_heavy_bench_rows():
     assert VARIANT_SPECS, "minhash variant should be registered"
     for s in VARIANT_SPECS:
         assert s.bench, s.name
-        assert s.bench_heavy or s.name in _PARITY_VARIANTS, s.name
+        assert s.bench_heavy or s.name in _LIGHT_VARIANTS, s.name
         # a variant must replace BOTH sides or the ratio compares
         # different corpora
         assert s.bench_fn is not None and s.bench_oracle is not None, s.name
@@ -231,3 +234,40 @@ def test_rerank_candidate_budget_embedded():
 
     s = REGISTRY["knn_rerank_top10"]
     assert f"LIMIT {RERANK_CANDIDATES}" in s.bench_oracle
+
+
+# ---- round-11 amplified variant: docs_word_freq_top20 -------------------
+# Third variant class (after reduced and parity): the twin AMPLIFIES the
+# corpus inline — every doc replicated _WF_AMPLIFY x on both engines
+# before the tokenizer — so the graded ratio measures the plan instead of
+# the sub-jitter 0.1 s floor the row hovered on for four rounds. The
+# deterministic contract: twin output == fn output with every count
+# scaled by exactly _WF_AMPLIFY (replication adds no words; scaling
+# preserves the (n DESC, word) order).
+
+
+def test_word_freq_twin_is_fn_with_scaled_counts(spark):
+    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+
+    s = REGISTRY["docs_word_freq_top20"]
+    a = s.fn(spark, SF_SMOKE).collect()
+    b = s.bench_fn(spark, SF_SMOKE).collect()
+    assert len(a) == 20
+    assert [(r["word"], r["n"] * _WF_AMPLIFY) for r in a] == [
+        (r["word"], r["n"]) for r in b
+    ]
+
+
+def test_word_freq_twin_oracle_is_oracle_with_scaled_counts(duck):
+    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+
+    s = REGISTRY["docs_word_freq_top20"]
+    a = duck.execute(s.oracle).fetchall()
+    b = duck.execute(s.bench_oracle).fetchall()
+    assert [(w, n * _WF_AMPLIFY) for w, n in a] == b
+
+
+def test_word_freq_twin_spark_equals_twin_oracle(spark, duck):
+    s = REGISTRY["docs_word_freq_top20"]
+    got = [(r["word"], r["n"]) for r in s.bench_fn(spark, SF_ORACLE).collect()]
+    assert got == duck.execute(s.bench_oracle).fetchall()

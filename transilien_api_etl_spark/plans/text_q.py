@@ -79,22 +79,27 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_word_freq_top20",
-    doc="Global word frequencies, top-20 (SURVEY §3 F9): explode → hash agg "
-    "→ TakeOrderedAndProject; partial aggregation makes the explode "
-    "shuffle-light at scale.",
-    tags=("text", "topk"),
-    bench=True,
-    oracle="""
-SELECT w AS word, count(*) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-GROUP BY w ORDER BY n DESC, word LIMIT 20
-""",
-)
-def docs_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Amplified bench twin for the word-freq row (VERDICT r10 task 3). The
+# graded 1 M-doc walls are 0.10-0.26 s on BOTH engines — inside this
+# host's measured ±30-50% jitter floor, which is why the row hovered
+# 1.56-1.93 for four rounds without a single plan change. The twin
+# replicates every document _WF_AMPLIFY× INLINE (broadcast fan-out before
+# the tokenizer — map-side, no shuffle; DuckDB gets the identical CROSS
+# JOIN range(N)), so the graded number measures tokenize+agg over 4 M
+# docs where the compute dominates the floor. The twin's output is fn's
+# output with every count × _WF_AMPLIFY (replication changes no word and
+# scaling preserves the (n DESC, word) order), a deterministic relation
+# tests/test_bench_variants.py asserts on driver data — this is the
+# AMPLIFIED variant class, vs minhash's reduced class (same disclosure
+# path in the bench sidecar).
+_WF_AMPLIFY = 4
+
+
+def _docs_word_freq(spark: SparkSession, sf_dir: str, amplify: int = 1) -> DataFrame:
     ensure_query_confs(spark)
     d = load_table(spark, sf_dir, "documents")
+    if amplify > 1:
+        d = d.crossJoin(F.broadcast(spark.range(amplify).select("id")))
     return (
         d.select(F.explode(tokenize(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -102,6 +107,32 @@ def docs_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+@register(
+    "docs_word_freq_top20",
+    doc="Global word frequencies, top-20 (SURVEY §3 F9): explode → hash agg "
+    "→ TakeOrderedAndProject; partial aggregation makes the explode "
+    "shuffle-light at scale. bench: graded through the ×4 inline-"
+    "amplified twin (see _WF_AMPLIFY) so the number measures the plan, "
+    "not the sub-jitter 0.1 s floor.",
+    tags=("text", "topk"),
+    bench=True,
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, word LIMIT 20
+""",
+    bench_fn=lambda spark, sf_dir: _docs_word_freq(spark, sf_dir, _WF_AMPLIFY),
+    bench_oracle=f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents CROSS JOIN range({_WF_AMPLIFY}))
+GROUP BY w ORDER BY n DESC, word LIMIT 20
+""",
+)
+def docs_word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_word_freq(spark, sf_dir)
 
 
 @register(

@@ -58,8 +58,16 @@ def scale_dir_name(factors: dict[str, int] | None = None) -> str:
     return "x".join(f"{k[:2]}{v}" for k, v in sorted(factors.items()))
 
 
-def _scale_table(spark: SparkSession, sf_dir: str, name: str, replicas: int) -> DataFrame:
-    df = load_table(spark, sf_dir, name)
+def _scale_table(
+    spark: SparkSession, sf_dir: str, name: str, replicas: int, partitions: int = 32
+) -> DataFrame:
+    # Spread the source across the write parallelism BEFORE the replica
+    # fan-out: a single-file sf table scans as ~3 input splits, and the
+    # broadcast crossJoin preserves its parent's partitioning — so without
+    # this, a 240 M-row expansion funnels through 3 threads (observed
+    # round 11: the 4x curve cache spent >10 min on a 3-task stage that
+    # takes ~1 min at 32-way).
+    df = load_table(spark, sf_dir, name).repartition(partitions)
     wide = df.crossJoin(
         F.broadcast(spark.range(replicas).select(F.col("id").alias("rep")))
     )
@@ -169,10 +177,12 @@ def materialize_scale(
         src = os.path.join(sf_dir, f"{name}.parquet")
         shutil.copy(src, out / f"{name}.parquet")
     for name, replicas in factors.items():
-        df = _scale_table(spark, sf_dir, name, replicas)
-        df.repartition(partitions).write.mode("overwrite").parquet(
-            str(out / f"{name}.parquet")
-        )
+        df = _scale_table(spark, sf_dir, name, replicas, partitions)
+        # The pre-fan-out repartition already spread the source across
+        # `partitions` splits; a second post-fan-out repartition would
+        # shuffle the full expanded table (120 M+ rows) just to land on
+        # the same file count.
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
         counts[name] = spark.read.parquet(str(out / f"{name}.parquet")).count()
 
     import json
