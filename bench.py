@@ -108,9 +108,54 @@ RUN_SCALE = os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
 _T_START = time.perf_counter()
 
+# Budget RESERVED for the oracle_heavy blowout tier (round 11, run 12):
+# the three 10-100x Spark-favoring oracles run LAST of all (information-
+# at-risk order, see oracle_pass_order), so on a degraded box every
+# earlier phase can drain the budget to under the 20 s entry gate before
+# tier 2 runs — run 12 (elapsed 1185/1200 s, DuckDB oracles 2-3x their
+# r10 walls) skipped all three and the measured-rows-only ratio_median
+# moved 0.77 -> 1.37 from those holes alone, the exact median-reshaping-
+# by-omission failure the caps-not-holes rule exists to kill. While a
+# blowout row is still untimed, every OTHER budget gate sees remaining()
+# minus its reserve (sized from the committed r10/r11 measured walls:
+# rolling_avg ~4 s, as-of 23-50 s, sessionize 47-78 s); the row releases
+# its share just before its own gates run. Earlier phases therefore
+# degrade (shrunken caps, flagged bounds) ~148 s sooner, and the tier
+# with the suite's most decisive ratios always gets its measured single
+# reps. If a blowout overruns its reserve the existing shrinking-cap +
+# flagged-lower-bound machinery still applies. Side effect, deliberate:
+# the scale-phase entry gate (remaining() > 240) now requires ~388 s of
+# true budget — entering the scale phase with less could never have
+# afforded the oracle pass anyway.
+BLOWOUT_RESERVE_S = {
+    "window_rolling_avg": 8.0,
+    "asof_join_purchase_click": 55.0,
+    "events_sessionize": 85.0,
+}
+_RESERVED = {"s": sum(BLOWOUT_RESERVE_S.values())}
+_RELEASED: set[str] = set()
+
+
+def release_reserve(name: str) -> None:
+    """Return `name`'s blowout reserve to the common budget (idempotent)."""
+    if name in BLOWOUT_RESERVE_S and name not in _RELEASED:
+        _RELEASED.add(name)
+        _RESERVED["s"] = max(0.0, _RESERVED["s"] - BLOWOUT_RESERVE_S[name])
+
+
+def release_reserve_all() -> None:
+    for name in BLOWOUT_RESERVE_S:
+        release_reserve(name)
+
+
+def _reset_reserve() -> None:
+    """Test hook: restore the import-time reserve state."""
+    _RELEASED.clear()
+    _RESERVED["s"] = sum(BLOWOUT_RESERVE_S.values())
+
 
 def remaining() -> float:
-    return BUDGET_S - (time.perf_counter() - _T_START)
+    return BUDGET_S - (time.perf_counter() - _T_START) - _RESERVED["s"]
 
 
 def sf_from_dir(path: str) -> float:
@@ -617,14 +662,18 @@ def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
     spent 50 s on the alphabetically-FIRST as-of blowout and then
     skipped 14 oracles including all three twins."""
 
-    def key(name: str) -> tuple[int, str]:
+    def key(name: str) -> tuple[int, float, str]:
         if bench_variant and specs[name].bench_oracle is not None:
             tier = 0
         elif specs[name].oracle_heavy:
             tier = 2
         else:
             tier = 1
-        return (tier, name)
+        # Within tier 2, cheapest reserve first (round 11 run 12): under
+        # a dying budget this maximizes the NUMBER of blowout rows that
+        # get a measured rep before the caps shrink.
+        cost = BLOWOUT_RESERVE_S.get(name, 0.0) if tier == 2 else 0.0
+        return (tier, cost, name)
 
     return sorted(specs, key=key)
 
@@ -667,6 +716,9 @@ def time_duckdb(
         if not sql:
             continue
         sql = _hoist_qvec(name, sql)
+        # A blowout row spends its own reserve: release it so THIS row's
+        # gates and caps see the true budget (see BLOWOUT_RESERVE_S).
+        release_reserve(name)
         # Near-death behavior (round 10 run 5): the old hard skip at
         # remaining<=30 silently DROPPED whole rows on a slow box — that
         # run lost the three biggest Spark-favoring blowouts
@@ -1037,7 +1089,11 @@ def main() -> None:
                 "oracle_heavy blowouts past the very-slow cutoff=single "
                 "measured warm-run rep (raw_reps length 1 shows which; "
                 "bias direction inflates the DuckDB denominator, bounded "
-                "1.04-1.7x vs the 25-100x margins those rows grade at)"
+                "1.04-1.7x vs the 25-100x margins those rows grade at); "
+                "blowout-tier budget held in reserve (~148 s) against "
+                "every earlier gate until each row spends its own share, "
+                "so budget death degrades earlier phases to capped bounds "
+                "instead of skipping the most Spark-favoring ratios"
             ),
             "spark": spark_t,
             "spark_reps": spark_reps,
@@ -1144,6 +1200,10 @@ def main() -> None:
             rest, SCALE_DIR, skipped=skipped, bench_variant=True, con=con
         )
         con.close()
+        # The oracle pass is over: any still-held reserve (a blowout row
+        # absent from `rest`, e.g. after a registry change) must not
+        # distort later remaining() readers.
+        release_reserve_all()
         duck_t.update(dr_t)
         duck_reps.update(dr_reps)
         # Unpaired rows grade as the quotient of the two steady walls;

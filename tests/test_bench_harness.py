@@ -6,6 +6,8 @@ external harness kill can't lose the JSON line."""
 
 from __future__ import annotations
 
+import pytest
+
 import bench
 
 
@@ -679,3 +681,80 @@ def test_time_paired_below_teardown_floor_drops_loudly(monkeypatch):
     assert ratio_t == {}
     assert log == []  # nothing ran
     assert "paired:fake_q" in skipped
+
+
+def test_remaining_is_reserve_aware_and_release_restores(monkeypatch):
+    """Round 11 run 12: while the blowout tier is untimed, remaining()
+    withholds its reserve from every other gate; releasing a row returns
+    exactly its share, and release is idempotent."""
+    import time as _time
+
+    monkeypatch.setattr(bench, "BUDGET_S", 1000.0)
+    monkeypatch.setattr(bench, "_T_START", _time.perf_counter())
+    bench._reset_reserve()
+    try:
+        full = sum(bench.BLOWOUT_RESERVE_S.values())
+        assert bench.remaining() == pytest.approx(1000.0 - full, abs=1.0)
+        bench.release_reserve("asof_join_purchase_click")
+        bench.release_reserve("asof_join_purchase_click")  # idempotent
+        held = full - bench.BLOWOUT_RESERVE_S["asof_join_purchase_click"]
+        assert bench.remaining() == pytest.approx(1000.0 - held, abs=1.0)
+        bench.release_reserve_all()
+        assert bench.remaining() == pytest.approx(1000.0, abs=1.0)
+    finally:
+        bench._reset_reserve()
+
+
+def test_blowout_reserve_protects_tier2_under_budget_death(monkeypatch):
+    """Round 11 run 12 (elapsed 1185/1200 s): every earlier phase drained
+    the budget and the entry gate skipped all three blowout oracles — the
+    suite's most Spark-favoring ratios became holes and ratio_median moved
+    0.77 -> 1.37 by omission. With the reserve, at 160 s of TRUE budget a
+    plain oracle must be the one that degrades (it sees 160 minus the
+    148 s reserve, under the 20 s gate) while the blowout row releases its
+    own share and still records a measured rep."""
+    import time as _time
+
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "BUDGET_S", 160.0)
+    monkeypatch.setattr(bench, "_T_START", _time.perf_counter())
+    monkeypatch.setattr(bench, "VERY_SLOW_ORACLE_S", 0.0)
+    bench._reset_reserve()
+    plain = QuerySpec(
+        name="plain_q", fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+    )
+    blow = QuerySpec(
+        name="events_sessionize", fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM nation", oracle_heavy=True,
+    )
+    try:
+        skipped = []
+        timings, reps = bench.time_duckdb(
+            {"plain_q": plain, "events_sessionize": blow},
+            "/root/testdata/sf0.001", skipped=skipped,
+        )
+        assert "duckdb:plain_q" in skipped  # reserve withheld -> gate
+        assert "events_sessionize" in timings  # reserve spent on itself
+        assert reps["events_sessionize"] == [timings["events_sessionize"]]
+    finally:
+        bench._reset_reserve()
+
+
+def test_oracle_pass_order_tier2_cheapest_reserve_first():
+    """Under a dying budget, cheapest blowout first maximizes the number
+    of tier-2 rows that record a measured rep."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    specs = {
+        n: QuerySpec(name=n, fn=lambda s, d: None, oracle="SELECT 1 AS x",
+                     oracle_heavy=True)
+        for n in bench.BLOWOUT_RESERVE_S
+    }
+    order = bench.oracle_pass_order(specs, bench_variant=False)
+    assert order == [
+        "window_rolling_avg",          # 8 s
+        "asof_join_purchase_click",    # 55 s
+        "events_sessionize",           # 85 s
+    ]
