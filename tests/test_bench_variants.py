@@ -46,7 +46,7 @@ VARIANT_SPECS = [
 #   Spark runs;
 # - amplified twins (docs_word_freq_top20): both engines replicate the
 #   corpus inline so the graded number clears the sub-jitter floor.
-_LIGHT_VARIANTS = {"knn_rerank_top10", "docs_word_freq_top20"}
+_LIGHT_VARIANTS = {"knn_rerank_top10", "docs_word_freq_top20", "docs_token_stats"}
 
 
 def test_variant_rows_are_heavy_bench_rows():
@@ -271,3 +271,45 @@ def test_word_freq_twin_spark_equals_twin_oracle(spark, duck):
     s = REGISTRY["docs_word_freq_top20"]
     got = [(r["word"], r["n"]) for r in s.bench_fn(spark, SF_ORACLE).collect()]
     assert got == duck.execute(s.bench_oracle).fetchall()
+
+
+# ---- round-11 amplified variant: docs_token_stats -----------------------
+# Same class and constant as word_freq's twin: ×4 inline replication on
+# both engines. Relation: n_tokens and n_docs scale by the factor,
+# avg_chars is replication-invariant, lang set and order unchanged.
+
+
+def test_token_stats_twin_is_fn_with_scaled_counts(spark):
+    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+
+    s = REGISTRY["docs_token_stats"]
+    a = s.fn(spark, SF_SMOKE).collect()
+    b = s.bench_fn(spark, SF_SMOKE).collect()
+    assert len(a) > 1
+    assert [
+        (r["lang"], r["n_tokens"] * _WF_AMPLIFY, r["n_docs"] * _WF_AMPLIFY,
+         r["avg_chars"])
+        for r in a
+    ] == [(r["lang"], r["n_tokens"], r["n_docs"], r["avg_chars"]) for r in b]
+
+
+def test_token_stats_twin_oracle_is_oracle_with_scaled_counts(duck):
+    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+
+    s = REGISTRY["docs_token_stats"]
+    a = duck.execute(s.oracle).fetchall()
+    b = duck.execute(s.bench_oracle).fetchall()
+    assert [
+        (lang, nt * _WF_AMPLIFY, nd * _WF_AMPLIFY, ac) for lang, nt, nd, ac in a
+    ] == b
+
+
+def test_token_stats_twin_spark_equals_twin_oracle(spark, duck):
+    s = REGISTRY["docs_token_stats"]
+    got = [
+        (r["lang"], r["n_tokens"], r["n_docs"], r["avg_chars"])
+        for r in s.bench_fn(spark, SF_ORACLE).collect()
+    ]
+    oracle = [(lang, int(nt), int(nd), float(ac))
+              for lang, nt, nd, ac in duck.execute(s.bench_oracle).fetchall()]
+    assert got == oracle
