@@ -274,33 +274,34 @@ def test_word_freq_twin_spark_equals_twin_oracle(spark, duck):
 
 
 # ---- round-11 amplified variant: docs_token_stats -----------------------
-# Same class and constant as word_freq's twin: ×4 inline replication on
-# both engines. Relation: n_tokens and n_docs scale by the factor,
-# avg_chars is replication-invariant, lang set and order unchanged.
+# Same class as word_freq's twin, its own ×16 constant (see _TS_AMPLIFY's
+# measured sizing: at ×4 the Spark wall was still constant-dominated).
+# Relation: n_tokens and n_docs scale by the factor, avg_chars is
+# replication-invariant, lang set and order unchanged.
 
 
 def test_token_stats_twin_is_fn_with_scaled_counts(spark):
-    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+    from transilien_api_etl_spark.plans.text_q import _TS_AMPLIFY
 
     s = REGISTRY["docs_token_stats"]
     a = s.fn(spark, SF_SMOKE).collect()
     b = s.bench_fn(spark, SF_SMOKE).collect()
     assert len(a) > 1
     assert [
-        (r["lang"], r["n_tokens"] * _WF_AMPLIFY, r["n_docs"] * _WF_AMPLIFY,
+        (r["lang"], r["n_tokens"] * _TS_AMPLIFY, r["n_docs"] * _TS_AMPLIFY,
          r["avg_chars"])
         for r in a
     ] == [(r["lang"], r["n_tokens"], r["n_docs"], r["avg_chars"]) for r in b]
 
 
 def test_token_stats_twin_oracle_is_oracle_with_scaled_counts(duck):
-    from transilien_api_etl_spark.plans.text_q import _WF_AMPLIFY
+    from transilien_api_etl_spark.plans.text_q import _TS_AMPLIFY
 
     s = REGISTRY["docs_token_stats"]
     a = duck.execute(s.oracle).fetchall()
     b = duck.execute(s.bench_oracle).fetchall()
     assert [
-        (lang, nt * _WF_AMPLIFY, nd * _WF_AMPLIFY, ac) for lang, nt, nd, ac in a
+        (lang, nt * _TS_AMPLIFY, nd * _TS_AMPLIFY, ac) for lang, nt, nd, ac in a
     ] == b
 
 
