@@ -132,7 +132,18 @@ BLOWOUT_RESERVE_S = {
     "asof_join_purchase_click": 55.0,
     "events_sessionize": 85.0,
 }
-_RESERVED = {"s": sum(BLOWOUT_RESERVE_S.values())}
+
+
+def _init_reserve() -> float:
+    """Reserve only what can be spent: the blowout tier lives in the
+    scale phase's oracle pass, so with SPARK_GRAFT_SCALE=0 holding the
+    reserve would starve the headline phase for a tier that never runs.
+    (The scale-gate else-branch likewise releases it when the budget is
+    too small to enter the phase.)"""
+    return sum(BLOWOUT_RESERVE_S.values()) if RUN_SCALE else 0.0
+
+
+_RESERVED = {"s": _init_reserve()}
 _RELEASED: set[str] = set()
 
 
@@ -1245,6 +1256,10 @@ def main() -> None:
             result["grade"]["plain_note"] = PLAIN_NOTE
     elif RUN_SCALE:
         result["scale_skipped"] = "budget exhausted before scale phase"
+        # No scale phase -> no oracle pass -> nothing to spend the
+        # blowout reserve on; let teardown-era remaining() readers see
+        # the true budget.
+        release_reserve_all()
     result["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
 
     with open(os.path.join(REPO_DIR, "BENCH_FULL_last.json"), "w") as f:

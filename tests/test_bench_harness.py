@@ -758,3 +758,12 @@ def test_oracle_pass_order_tier2_cheapest_reserve_first():
         "asof_join_purchase_click",    # 55 s
         "events_sessionize",           # 85 s
     ]
+
+
+def test_reserve_is_zero_when_scale_phase_disabled(monkeypatch):
+    """SPARK_GRAFT_SCALE=0 means the blowout tier never runs: holding
+    its reserve would starve the headline phase for nothing."""
+    monkeypatch.setattr(bench, "RUN_SCALE", False)
+    assert bench._init_reserve() == 0.0
+    monkeypatch.setattr(bench, "RUN_SCALE", True)
+    assert bench._init_reserve() == sum(bench.BLOWOUT_RESERVE_S.values())
