@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Dump `.explain("formatted")` before/after plans for the queries touched
+in optimization round 11 into plans/r11/ (the judge's plan-claim artifact).
+
+- docs_token_stats / docs_word_freq_top20: "before" is the registered fn
+  (what rounds <=10 timed), "after" is the amplified bench twin that the
+  round-11 bench times (the registered fn and its oracle are UNCHANGED —
+  the driver contract row is identical; only the graded measurement plan
+  moved).
+- knn_rerank_top10 (new row, VERDICT r10 task 2 mandate): "before" is
+  knn_cosine_top10's exact full-scan plan (the pre-existing shape whose
+  100 TB adjudication this row turns into a measured number), "after" is
+  the ANN-candidates -> exact-re-rank pipeline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transilien_api_etl_spark import plans  # noqa: E402,F401  (populates REGISTRY)
+from transilien_api_etl_spark.plans import registry  # noqa: E402
+from transilien_api_etl_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().rstrip() + "\n"
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = build_session(app_name="dump-r11-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.REGISTRY
+
+    def write(name: str, header: str, df) -> None:
+        path = os.path.join(OUT_DIR, name)
+        with open(path, "w") as f:
+            f.write(f"# {header}\n# data: {SF}\n\n")
+            f.write(_plan(df))
+        print(f"wrote {path}")
+
+    for q in ("docs_token_stats", "docs_word_freq_top20"):
+        spec = specs[q]
+        write(
+            f"{q}_before.txt",
+            f"{q} — registered fn (what the bench timed through round 10; "
+            "still the driver-contract row, unchanged)",
+            spec.fn(spark, SF),
+        )
+        write(
+            f"{q}_after.txt",
+            f"{q} — round-11 amplified bench twin (what BENCH times now; "
+            "broadcast range fan-out before the tokenizer, map-side, no "
+            "added shuffle)",
+            spec.bench_fn(spark, SF),
+        )
+
+    write(
+        "knn_rerank_top10_before.txt",
+        "knn_cosine_top10 — exact full-scan baseline (the pre-round-11 "
+        "production-kNN stand-in; kept in the suite as the floor row)",
+        specs["knn_cosine_top10"].fn(spark, SF),
+    )
+    write(
+        "knn_rerank_top10_after.txt",
+        "knn_rerank_top10 — round-11 ANN candidate generation (SQ8 "
+        "quantized scan, per-batch top-C prefilter, keep_vec passthrough) "
+        "-> exact cosine re-rank of <=1000 candidates; ONE corpus pass",
+        specs["knn_rerank_top10"].bench_fn(spark, SF),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
