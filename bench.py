@@ -133,6 +133,22 @@ BLOWOUT_RESERVE_S = {
     "events_sessionize": 85.0,
 }
 
+# Committed scale-phase oracle walls (runs 19-20 band, rounded up), used
+# ONLY as the cheapest-first ordering key of the non-blowout oracle pass
+# (oracle_pass_order) — never as a timing, cap, or reserve. A wrong or
+# missing entry costs ordering quality under budget death, nothing else;
+# unknown rows default to DEFAULT_ORACLE_EST_S (light), which is also
+# self-correcting: a misplaced expensive row degrades to a flagged capped
+# lower bound under the caps-not-holes gate instead of holing anything.
+ORACLE_EST_S = {
+    "docs_segment_dedup": 1.5,
+    "pretrain_corpus_report": 5.0,
+    "knn_pq_adc_top10": 12.0,
+    "semdedup_survivors": 27.0,
+    "docs_minhash_candidates": 55.0,
+}
+DEFAULT_ORACLE_EST_S = 5.0
+
 
 def _init_reserve() -> float:
     """Reserve only what can be spent: the blowout tier lives in the
@@ -200,14 +216,28 @@ VERY_SLOW_ORACLE_S = 20.0
 # and cap in the oracle rep loop derives from this ONE constant plus the
 # rep floor (ADVICE r10: three slightly different literals — 20/12/15 —
 # made the teardown invariant unauditable):
-#   entry gate     remaining <= TEARDOWN_MARGIN_S + WARM_CAP_FLOOR_S
-#   warm/rep cap   min(default, remaining - TEARDOWN_MARGIN_S) (floored)
+#   entry gate     headroom = remaining - TEARDOWN_MARGIN_S;
+#                  headroom < WARM_CAP_FLOOR_S -> degraded single-warm
+#                  mode; headroom < LAST_DITCH_FLOOR_S -> drop (loudly)
+#   warm/rep cap   min(default, remaining - TEARDOWN_MARGIN_S) (floored;
+#                  the raw headroom in degraded mode)
 #   rep-loop stop  remaining - TEARDOWN_MARGIN_S < REP_CAP_FLOOR_S
 # so a rep is admitted only when its floor-capped worst case still ends
 # with the full teardown margin intact.
 TEARDOWN_MARGIN_S = 12.0
 WARM_CAP_FLOOR_S = 8.0
 REP_CAP_FLOOR_S = 5.0
+# Below WARM_CAP_FLOOR_S of headroom the oracle pass no longer drops a
+# row whole: one warm rep capped at the residual headroom still records
+# either a measurement or a decisive flagged lower bound (caps-not-holes,
+# the round-10 run-5 lesson applied to the ENTRY gate). Observed round 11
+# at SPARK_GRAFT_CPUS=8 (the driver's PERF low-core shape): the slower
+# Spark/scale phases drained the budget and the old entry gate holed
+# three Spark-favoring oracles (segment_dedup/pretrain/rolling_avg,
+# ratios 0.03-0.46) — the measured-rows-only ratio_median moved
+# 0.61 -> 1.31 from the holes alone. Only a headroom too small to mean
+# anything (< LAST_DITCH_FLOOR_S) still drops the row, loudly.
+LAST_DITCH_FLOOR_S = 2.0
 
 
 # The rows graded by the per-rep paired protocol (see module docstring):
@@ -661,30 +691,31 @@ def time_spark(
 
 
 def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
-    """Oracle timing order by information-at-risk (round 9): twin-backed
-    oracles FIRST — they are the rows the graded artifact exists to
-    measure (VERDICT r8 task 1) and they finish by construction; plain
-    oracles next; ``oracle_heavy`` rows (as-of 23-50 s, sessionize
-    47-53 s — 25-100x Spark-favoring blowouts) LAST, because a
-    budget-shrunk cap there still records a decisive lower bound
-    (ratio < 0.1), while a skipped twin or plain oracle loses a graded
-    deliverable. Observed round 9, twice: one slow-box run reached the
-    alphabetically-last pq/semdedup oracles with <30 s left; another
-    spent 50 s on the alphabetically-FIRST as-of blowout and then
-    skipped 14 oracles including all three twins."""
+    """Oracle timing order by information-at-risk. Round 9 put twin-backed
+    oracles before blowouts (one slow-box run spent 50 s on the
+    alphabetically-FIRST as-of blowout and then skipped 14 oracles
+    including all three twins). Round 11 (the 8-core PERF shape) merged
+    the twin/plain tiers into ONE cheapest-first tier: the twin-first
+    split sent the 12-55 s twin oracles (minhash/semdedup/pq) ahead of
+    the 1.5-5 s plain rows, so a budget death between the tiers holed
+    segment_dedup/pretrain — rows that needed seconds — while every
+    surviving expensive row would have degraded to a flagged capped
+    lower bound anyway under the caps-not-holes entry gate. Cheapest
+    first maximizes the NUMBER of fully measured rows; what dies at the
+    tail is always the row whose shrunken-cap lower bound loses the
+    least. ``oracle_heavy`` blowouts (as-of 23-56 s, sessionize
+    42-85 s — 25-100x Spark-favoring) stay LAST, cheapest reserve first
+    (round 11 run 12), funded by BLOWOUT_RESERVE_S; their capped lower
+    bound is decisive (ratio < 0.1) by construction.
+
+    ``bench_variant`` no longer affects the order (the estimate map
+    covers twin and plain oracles alike); the parameter stays for call
+    symmetry with the timing functions."""
 
     def key(name: str) -> tuple[int, float, str]:
-        if bench_variant and specs[name].bench_oracle is not None:
-            tier = 0
-        elif specs[name].oracle_heavy:
-            tier = 2
-        else:
-            tier = 1
-        # Within tier 2, cheapest reserve first (round 11 run 12): under
-        # a dying budget this maximizes the NUMBER of blowout rows that
-        # get a measured rep before the caps shrink.
-        cost = BLOWOUT_RESERVE_S.get(name, 0.0) if tier == 2 else 0.0
-        return (tier, cost, name)
+        if specs[name].oracle_heavy:
+            return (1, BLOWOUT_RESERVE_S.get(name, 0.0), name)
+        return (0, ORACLE_EST_S.get(name, DEFAULT_ORACLE_EST_S), name)
 
     return sorted(specs, key=key)
 
@@ -740,13 +771,24 @@ def time_duckdb(
         # so budget death degrades the artifact gracefully rather than
         # reshaping its headline by omission. Margins all derive from
         # TEARDOWN_MARGIN_S (see its comment block).
-        if skipped is not None and remaining() <= TEARDOWN_MARGIN_S + WARM_CAP_FLOOR_S:
-            skipped.append(f"duckdb:{name}")
-            continue
-        default_cap = REGISTRY[name].oracle_cap_s or 150.0
-        per_query_cap = max(
-            WARM_CAP_FLOOR_S, min(default_cap, remaining() - TEARDOWN_MARGIN_S)
-        )
+        #
+        # Round 11 (the 8-core PERF shape) extended the same treatment
+        # into the last WARM_CAP_FLOOR_S of headroom: instead of holing
+        # the row, run ONE warm rep capped at the residual headroom —
+        # a completion is graded as a flagged cold rep (see the `not
+        # raw` branch), an interrupt as the flagged lower bound. Only
+        # below LAST_DITCH_FLOOR_S does the row drop, still loudly.
+        headroom = remaining() - TEARDOWN_MARGIN_S
+        if skipped is not None and headroom < WARM_CAP_FLOOR_S:
+            if headroom < LAST_DITCH_FLOOR_S:
+                skipped.append(f"duckdb:{name}")
+                continue
+            per_query_cap = headroom
+        else:
+            default_cap = REGISTRY[name].oracle_cap_s or 150.0
+            per_query_cap = max(
+                WARM_CAP_FLOOR_S, min(default_cap, remaining() - TEARDOWN_MARGIN_S)
+            )
         warm_s = guarded_run(sql, per_query_cap)  # warm rep, untimed
         if isinstance(warm_s, Exception):
             # A binder/config error is NOT a timeout: no timing is
@@ -830,11 +872,31 @@ def time_duckdb(
             # A mid-rep interrupt is a lower bound too, not a measurement.
             skipped.append(f"duckdb-timeout-lower-bound:{name}")
         if not raw:
-            # Budget-break before any timed rep: the row is dropped
-            # LOUDLY (same flag as the entry gate), never silently —
-            # the warm run is not usable (warm-strip discipline).
-            if skipped is not None and not flagged:
-                skipped.append(f"duckdb:{name}")
+            # Budget-break before any timed rep. The warm run DID
+            # complete (errors/interrupts were handled above), so grade
+            # it as a single flagged cold rep rather than holing the
+            # row: the blowout tier already pays exactly this rep under
+            # the same bias audit (cold-vs-warm inflation 1.04-1.7x,
+            # direction inflates the DuckDB denominator, i.e. favors
+            # Spark — which is why the flag names it cold and the
+            # 1-long raw_reps exposes it), and a flagged cold quotient
+            # beats the alternative, which is reshaping ratio_median by
+            # omission (0.61 -> 1.31 from three holes, round-11 8-core
+            # run). Warm-strip discipline holds everywhere the budget
+            # affords a timed rep.
+            if flagged:
+                # A rep-loop ERROR is not a budget break: keep the
+                # round-10 rule (no timing for a broken setup), the
+                # duckdb-error flag is already on `skipped`.
+                continue
+            if skipped is not None:
+                skipped.append(f"duckdb-near-death-cold-rep:{name}")
+            timings[name] = round(warm_s, 4)
+            raw_reps[name] = [round(warm_s, 4)]
+            print(
+                f"# duckdb {name}: {warm_s:.3f}s near-death cold rep",
+                file=sys.stderr,
+            )
             continue
         # 2-rep tie-breaker, same rule as the Spark side (ADVICE r9: the
         # tiers must not diverge): two reps disagreeing by >2× get a
@@ -1113,7 +1175,7 @@ def main() -> None:
             "order": (
                 "unpaired light -> paired light (alternating reps) -> "
                 "bucketed (alternating reps) -> heavy -> oracles "
-                "(twins, plain, oracle_heavy blowouts last)"
+                "(cheapest-estimate first, oracle_heavy blowouts last)"
             ),
             "bench_variants": variants,
         }
@@ -1198,12 +1260,13 @@ def main() -> None:
         spark_t.update(heavy_t)
         spark_reps.update(heavy_reps)
         # Oracles: ONE pass over everything not already paired-measured,
-        # ordered by information-at-risk (oracle_pass_order): twin-backed
-        # first, plain next, oracle_heavy blowouts last — if the budget
-        # dies mid-pass, what's lost is a decisive <0.1-ratio lower
-        # bound, never a measurable row (round 9: the old light-then-
-        # heavy pass order spent 50 s on the as-of blowout and then
-        # skipped 14 oracles including all three twins).
+        # ordered by information-at-risk (oracle_pass_order): cheapest
+        # estimated wall first, oracle_heavy blowouts last on reserve —
+        # if the budget dies mid-pass, what's lost is a flagged capped
+        # lower bound on the most expensive row, never a cheap
+        # measurable one (round 9: as-of first starved 14 oracles;
+        # round 11, 8-core: twins-first starved the 1.5-5 s plain rows
+        # behind the 12-55 s twin oracles).
         rest = {
             n: s for n, s in {**light, **heavy}.items() if n not in paired_specs
         }

@@ -284,10 +284,13 @@ def test_median_reps_no_tiebreaker_without_budget(monkeypatch):
     assert med == 80.8  # the distorted mean stands, auditable via raw
 
 
-def test_oracle_pass_order_twins_first():
-    """r9: the final oracle pass runs twin-backed oracles (finishable by
-    construction, the graded deliverable) before the Spark-favoring
-    blowouts whose capped lower bound is decisive anyway."""
+def test_oracle_pass_order_cheapest_first_blowouts_last():
+    """Round 11 (8-core PERF shape): the non-blowout oracle pass runs
+    CHEAPEST first by the committed-walls estimate map — the old
+    twin-first split sent the 12-55 s twin oracles ahead of 1.5-5 s
+    plain rows and a budget death between the tiers holed the cheap
+    rows. Blowouts stay last (capped lower bound decisive), cheapest
+    reserve first."""
     from types import SimpleNamespace as NS
 
     specs = {
@@ -295,23 +298,20 @@ def test_oracle_pass_order_twins_first():
         "semdedup_survivors": NS(bench_oracle="select 1", oracle_heavy=False),
         "events_sessionize": NS(bench_oracle=None, oracle_heavy=True),
         "knn_pq_adc_top10": NS(bench_oracle="select 1", oracle_heavy=False),
-        "q1_pricing_summary": NS(bench_oracle=None, oracle_heavy=False),
+        "docs_segment_dedup": NS(bench_oracle=None, oracle_heavy=False),
         "docs_minhash_candidates": NS(bench_oracle="select 1", oracle_heavy=False),
     }
     order = bench.oracle_pass_order(specs, bench_variant=True)
     assert order == [
-        "docs_minhash_candidates",  # tier 0: twins (finishable, graded)
-        "knn_pq_adc_top10",
-        "semdedup_survivors",
-        "q1_pricing_summary",  # tier 1: plain measurable
-        "asof_join_purchase_click",  # tier 2: blowouts, cap is decisive
+        "docs_segment_dedup",  # 1.5 s — cheapest measurable first
+        "knn_pq_adc_top10",  # 12 s
+        "semdedup_survivors",  # 27 s
+        "docs_minhash_candidates",  # 55 s
+        "asof_join_purchase_click",  # blowouts last, cheapest reserve first
         "events_sessionize",
     ]
-    # outside the scale phase (no twins engaged) blowouts still go last
-    assert bench.oracle_pass_order(specs, bench_variant=False)[-2:] == [
-        "asof_join_purchase_click",
-        "events_sessionize",
-    ]
+    # the order is deliberately bench_variant-independent now
+    assert bench.oracle_pass_order(specs, bench_variant=False) == order
 
 
 def test_force_reps_genuinely_slow_falls_to_two_rep_tier(monkeypatch):
@@ -578,12 +578,41 @@ def test_time_duckdb_near_death_runs_with_shrunken_cap(monkeypatch):
         bench.REGISTRY.pop("near_death_q", None)
 
 
-def test_time_duckdb_true_death_still_skips(monkeypatch):
-    """Below the 20 s teardown floor nothing runs: the skip flag (not a
-    phantom timing) is the record."""
+def test_time_duckdb_entry_degraded_records_flagged_cold_rep(monkeypatch):
+    """Round 11, 8-core PERF shape: inside the last WARM_CAP_FLOOR_S of
+    headroom the old entry gate holed the row (three Spark-favoring
+    oracles -> ratio_median 0.61 -> 1.31 by omission). It must now run
+    one warm rep capped at the residual headroom and grade it as a
+    FLAGGED cold rep."""
     from transilien_api_etl_spark.plans.registry import QuerySpec
 
+    # headroom = 15 - 12 = 3 s: below WARM_CAP_FLOOR_S (8), above
+    # LAST_DITCH_FLOOR_S (2) -> degraded single-warm mode.
     monkeypatch.setattr(bench, "remaining", lambda: 15.0)
+    spec = QuerySpec(
+        name="degraded_q",
+        fn=lambda s, d: None,
+        oracle="SELECT count(*) AS n FROM region",
+    )
+    bench.REGISTRY.setdefault("degraded_q", spec)
+    try:
+        skipped = []
+        timings, reps = bench.time_duckdb(
+            {"degraded_q": spec}, "/root/testdata/sf0.001", skipped=skipped
+        )
+        assert "degraded_q" in timings
+        assert reps["degraded_q"] == [timings["degraded_q"]]  # 1 cold rep
+        assert skipped == ["duckdb-near-death-cold-rep:degraded_q"]
+    finally:
+        bench.REGISTRY.pop("degraded_q", None)
+
+
+def test_time_duckdb_true_death_still_skips(monkeypatch):
+    """Below LAST_DITCH_FLOOR_S of headroom nothing runs: the skip flag
+    (not a phantom timing) is the record."""
+    from transilien_api_etl_spark.plans.registry import QuerySpec
+
+    monkeypatch.setattr(bench, "remaining", lambda: 13.5)  # headroom 1.5
     spec = QuerySpec(
         name="dead_q",
         fn=lambda s, d: None,
@@ -600,11 +629,12 @@ def test_time_duckdb_true_death_still_skips(monkeypatch):
         bench.REGISTRY.pop("dead_q", None)
 
 
-def test_time_duckdb_rep_loop_budget_break_flags_row(monkeypatch):
-    """Code-review round 10: once another floor-capped rep cannot leave
-    the ~12 s teardown margin, the rep loop stops instead of draining to
-    ~2 s — and a row whose warm ran but whose reps never did is dropped
-    LOUDLY (entry-gate flag), never silently."""
+def test_time_duckdb_rep_loop_budget_break_grades_flagged_cold_rep(monkeypatch):
+    """Code-review round 10 + round 11: once another floor-capped rep
+    cannot leave the ~12 s teardown margin, the rep loop stops instead
+    of draining to ~2 s — and a row whose warm COMPLETED but whose reps
+    never ran is graded as a flagged cold rep (round 11: the old loud
+    drop still reshaped ratio_median by omission), never silently."""
     from transilien_api_etl_spark.plans.registry import QuerySpec
 
     budget = iter([25.0] + [16.0] * 50)  # entry gate passes, reps cannot
@@ -617,11 +647,12 @@ def test_time_duckdb_rep_loop_budget_break_flags_row(monkeypatch):
     bench.REGISTRY.setdefault("rep_break_q", spec)
     try:
         skipped = []
-        timings, _ = bench.time_duckdb(
+        timings, reps = bench.time_duckdb(
             {"rep_break_q": spec}, "/root/testdata/sf0.001", skipped=skipped
         )
-        assert timings == {}
-        assert skipped == ["duckdb:rep_break_q"]
+        assert "rep_break_q" in timings
+        assert reps["rep_break_q"] == [timings["rep_break_q"]]
+        assert skipped == ["duckdb-near-death-cold-rep:rep_break_q"]
     finally:
         bench.REGISTRY.pop("rep_break_q", None)
 
