@@ -1,9 +1,9 @@
 """Minimal transformWithStateInPandas repro on PySpark 4.1.2, outside pytest.
 
 Observed in this container (2026-08-13; re-verified rounds 4, 5, 6, 7, 8,
-9, 10 and 11 — last probe 2026-08-16 round 11: `import google` still
-raises ModuleNotFoundError and this script still prints TWS_CRASH, so the
-TWS state-server protocol cannot start):
+9, 10 and 11 — last probe 2026-08-17 round 11 session 4: `import google`
+still raises ModuleNotFoundError and this script still prints TWS_CRASH,
+so the TWS state-server protocol cannot start):
 the streaming query terminates with
   SparkException: TransformWithStateInPySpark driver worker exited
   unexpectedly (crashed)
