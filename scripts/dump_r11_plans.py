@@ -86,6 +86,26 @@ def main() -> None:
         "-> exact cosine re-rank of <=1000 candidates; ONE corpus pass",
         specs["knn_rerank_top10"].bench_fn(spark, SF),
     )
+
+    # Session-5 headline-wall rows. Their *_before.txt files were captured
+    # on the pre-change tree (commit 4868195) and are NOT regenerated here
+    # — re-running this script on the current tree only refreshes the
+    # after plans (widen_small_scan input-parallelism Exchange, the
+    # string-form kmeans assignment, the semdedup one-anti-join prune).
+    for q in (
+        "semdedup_survivors",
+        "docs_minhash_candidates",
+        "embeddings_kmeans",
+        "embeddings_pq_codes",
+        "knn_pq_adc_top10",
+    ):
+        write(
+            f"{q}_after.txt",
+            f"{q} — after (round-11 session 5: widened single-split "
+            "driver-SF scans; kmeans string-form assignment; semdedup "
+            "single left-anti prune)",
+            specs[q].fn(spark, SF),
+        )
     spark.stop()
 
 

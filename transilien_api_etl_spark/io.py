@@ -254,6 +254,33 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def widen_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to the session parallelism when its
+    source would otherwise run on fewer tasks (guide §2.5/§6.1 — input
+    parallelism). The driver SFs are single-row-group parquet files, so
+    Spark plans ONE input split no matter the core count, and every
+    downstream map-side expression (seeded-md5 MinHash signatures, the
+    interpreted k-means/PQ assignment folds, ADC lookups) serializes on
+    one task while the other cores idle — measured round 11 session 5
+    (sf0.1 headline walls, warm+5-rep medians,
+    scripts/headline_walls_ab.py; BASELINE.md): docs_minhash_candidates
+    4.44→1.62 s, knn_pq_adc_top10 3.97→2.53 s, embeddings_pq_codes
+    2.65→1.24 s with the widen. Scale-adaptive by
+    construction: the guard compares the PLANNED partition count to
+    ``defaultParallelism`` (derived from ``local[$SPARK_GRAFT_CPUS]``, or
+    the cluster's executor slots), so a scale-cache / production input
+    with >= that many splits passes through untouched and no shuffle is
+    added. Values are unaffected: callers' downstream operators are
+    per-row expressions or key-grouped aggregates, neither of which
+    depends on the physical row placement (the kmeans/PQ centroid-mean
+    rounding margin vs partial-sum order is the SAME contract the 32-file
+    scale cache already exercises against the DuckDB oracles)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # (sf_dir, table) -> row count, memoized for the life of the process.
 # Consumers are the corpus-size path switches (PQ's sampled-train /
 # Arrow-encode threshold, SemDeDup's derived k): they re-derive the same

@@ -134,7 +134,16 @@ def minhash_signature_pairs(
             "dropped, lowering recall vs the configured width"
         )
     from transilien_api_etl_spark.functions.text import portable_token_hash
+    from transilien_api_etl_spark.io import widen_small_scan
 
+    # Single-row-group driver SFs plan ONE input split, so the expensive
+    # map-side stage (tokenize + num_hashes seeded-md5 minima per doc,
+    # computed in the partial aggregation BEFORE the groupBy exchange)
+    # serializes on one task. Widen the doc scan to the session
+    # parallelism first — guarded no-op on multi-split inputs (the 32-file
+    # scale cache and any production layout), measured round 11 session 5
+    # (BASELINE.md: sig-stage walls).
+    df = widen_small_scan(df.sparkSession, df)
     tok = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col)).alias("tok"))
     # Seeded permutation hashes via the portable md5 form (round 3 — was
     # seeded xxhash64): DuckDB computes the identical minima, so the whole

@@ -43,26 +43,54 @@ ROUND_DP = 6
 ARROW_K_MIN = 17
 
 
-def _assign_col(centroids: list[tuple[int, list[float]]], vv: Column, v: Column) -> Column:
-    """min-by-(dist², cid) over a literal centroid list, as one expression.
+def _assign_col(
+    centroids: list[tuple[int, list[float]]], vv_name: str, v_name: str
+) -> Column:
+    """min-by-(dist², cid) over a literal centroid list, as ONE SQL string.
 
     dist²(v,c) = v·v − 2·v·c + c·c ; v·v arrives precomputed (once per row,
     not once per centroid), c·c folds driver-side in the same sequential
     double arithmetic as the oracle's ``list_inner_product(c.v, c.v)``.
+
+    String-form (round 11, the pq_codes_col lesson from operators/pq.py):
+    the previous Column-object form built k×(dim+2) literal Columns plus a
+    ``dot`` fold per centroid through py4j — measured ~0.46 s to BUILD
+    (+ ~0.04 s to analyze) at k=8×64-dim, paid once per Lloyd iteration
+    plus once for the final assignment (~1.4 s of driver-side expression
+    construction per registered kmeans query). This form builds in ~1 ms
+    and analyzes in ~0.06 s (warmed 5-rep medians, BASELINE.md round-11
+    session 5; embeddings_kmeans sf0.1 wall 1.99→0.92 s with the widen
+    landing together). The inner product unrolls as the explicit
+    left-to-right fold
+    ``((0.0 + v[0]·c0) + v[1]·c1)…`` — the identical summation order to
+    the old ``aggregate(zip_with(...))`` fold (value-parity verified at
+    sf0.1: 0 differing rows; the driver's oracle MATCH re-proves it end
+    to end at every SF). transform-over-literal-array keeps evaluation a
+    k-iteration loop — no Janino unroll blowup (the pq kernel A/B/C
+    note). Out-of-contract ragged rows degrade the same way (``get``
+    returns NULL out of bounds, poisoning d² to NULL like the zip_with
+    pad did), except rows LONGER than the centroid dim, which the old
+    form NULL-poisoned and this form scores on the first ``dim``
+    elements — outside the uniform-length data contract either way.
     """
+    dim = len(centroids[0][1])
     entries = []
     for cid, vec in centroids:
-        c_arr = F.array(*[F.lit(float(x)) for x in vec])
         cc = 0.0
         for x in vec:
             cc += float(x) * float(x)
-        d2 = vv - 2.0 * dot(v, c_arr) + F.lit(cc)
-        entries.append(
-            F.struct(
-                F.round(d2, ROUND_DP).alias("d"), F.lit(int(cid)).alias("cid")
-            )
-        )
-    return F.array_min(F.array(*entries))
+        fields = [f"'cid', {int(cid)}", f"'cc', {float(cc)!r}D"]
+        fields += [f"'c{d}', {float(x)!r}D" for d, x in enumerate(vec)]
+        entries.append(f"named_struct({', '.join(fields)})")
+    cent_arr = f"array({', '.join(entries)})"
+    ip = "0.0D"
+    for d in range(dim):
+        ip = f"({ip} + (CAST(get({v_name}, {d}) AS DOUBLE) * c.c{d}))"
+    d2 = f"(({vv_name} - (2.0D * {ip})) + c.cc)"
+    return F.expr(
+        f"array_min(transform({cent_arr}, "
+        f"c -> named_struct('d', round({d2}, {ROUND_DP}), 'cid', c.cid)))"
+    )
 
 
 def _assign_arrow_df(
@@ -120,6 +148,12 @@ def kmeans_fit(
     """Run ``iterations`` Lloyd steps and return the FINAL centroids —
     the driver-held model, e.g. as a PQ codebook (operators/pq.py)."""
     df = _normalize(emb, id_col, vec_col)
+    # Single-row-group driver SFs plan ONE input split: widen so the
+    # assignment/update map work uses every core instead of one task
+    # (io.widen_small_scan — guarded no-op at scale, measured round 11).
+    from transilien_api_etl_spark.io import widen_small_scan
+
+    df = widen_small_scan(emb.sparkSession, df)
     # Cache the normalized vectors across Lloyd iterations (the MLlib
     # pattern): every iteration re-reads df; without this each one re-scans
     # parquet and re-folds v·v. MEMORY_AND_DISK so a 100 TB input degrades
@@ -143,7 +177,7 @@ def kmeans_fit(
                 "cluster", F.posexplode("v").alias("d", "val")
             )
         else:
-            best = _assign_col(centroids, F.col("vv"), F.col("v"))
+            best = _assign_col(centroids, "vv", "v")
             # NB: materialize the struct via withColumn before extracting
             # fields — extracting from the raw expression alongside a
             # multi-alias generator (posexplode) in one select loses the
@@ -181,12 +215,14 @@ def kmeans_assign(
     centroids = kmeans_fit(
         emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
     )
-    df = _normalize(emb, id_col, vec_col)
+    from transilien_api_etl_spark.io import widen_small_scan
+
+    df = widen_small_scan(emb.sparkSession, _normalize(emb, id_col, vec_col))
     if k >= ARROW_K_MIN:
         return _assign_arrow_df(df, centroids, id_col).select(
             F.col(id_col), F.col("v"), F.col("cluster"), F.col("d2")
         )
-    best = _assign_col(centroids, F.col("vv"), F.col("v"))
+    best = _assign_col(centroids, "vv", "v")
     return df.withColumn("best", best).select(
         F.col(id_col),
         F.col("v"),

@@ -74,6 +74,15 @@ def pq_train(
     )
     if sample_mod > 1:
         df = df.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    # Widen single-split driver-SF scans before caching: each Lloyd
+    # iteration evaluates the fused M-subspace assignment transform on
+    # every cached row, and a 1-partition cache serializes that on one
+    # task (measured sf0.1 headline walls: embeddings_pq_codes
+    # 2.65→1.24 s, knn_pq_adc_top10 3.97→2.53 s — BASELINE.md round-11
+    # session 5; no-op at scale — io.widen_small_scan).
+    from transilien_api_etl_spark.io import widen_small_scan
+
+    df = widen_small_scan(emb.sparkSession, df)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     init = df.orderBy(id_col).limit(k).select("v").collect()

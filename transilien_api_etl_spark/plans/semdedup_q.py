@@ -163,19 +163,30 @@ def _survivors(
         ),
         6,
     )
-    dups = (
+    # ONE left-anti join with the whole dup predicate in the join
+    # condition (round 11): "survivor" IS an anti-exists, and the
+    # hash-join probe short-circuits a row at its FIRST qualifying
+    # neighbour, so dup-dense clusters skip most of their per-pair cosine
+    # folds — where the previous inner-join → filter → distinct →
+    # left-anti shape evaluated the fold on every one of the ~250 k
+    # within-cluster pairs at sf0.1 and then paid a dedup exchange plus a
+    # second join over the Θ(n·k) assignment lineage. Measured (round 11
+    # session 5, sf0.1 headline wall, with the kmeans string-form
+    # assignment + widened scan landing together): semdedup_survivors
+    # 5.59 s → 3.38 s (scripts/headline_walls_ab.py, BASELINE.md);
+    # identical survivor set — the driver oracle MATCHes at sf0.01 and
+    # sf0.1, and NaN cosines still land on the dup side (Spark orders NaN
+    # above every value in the join condition exactly as it did in the
+    # filter).
+    return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+            & (cos >= F.lit(_TAU)),
+            "left_anti",
         )
-        .filter(cos >= F.lit(_TAU))
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        km.join(dups, "vec_id", "left_anti")
-        .select("vec_id", "cluster")
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("a.cluster").alias("cluster"))
         .orderBy("vec_id")
     )
 
