@@ -179,6 +179,14 @@ def _reset_reserve() -> None:
     """Test hook: restore the import-time reserve state."""
     _RELEASED.clear()
     _RESERVED["s"] = sum(BLOWOUT_RESERVE_S.values())
+    _ORACLE_ORDER_FLIP["flipped"] = False
+
+
+# Set by oracle_pass_order when the reserve-scarce flip fires (blowouts
+# first); read into the sidecar's scale.order so a flipped run
+# self-describes. One flag per process: the flip can only fire in the
+# single end-of-run oracle pass.
+_ORACLE_ORDER_FLIP = {"flipped": False}
 
 
 def remaining() -> float:
@@ -710,13 +718,51 @@ def oracle_pass_order(specs, bench_variant: bool) -> list[str]:
 
     ``bench_variant`` no longer affects the order (the estimate map
     covers twin and plain oracles alike); the parameter stays for call
-    symmetry with the timing functions."""
+    symmetry with the timing functions.
+
+    Reserve-scarce flip (round 11, the session-4 8-core run): when the
+    pass STARTS with the reserve-withheld headroom already inside the
+    degraded-mode gate (remaining() - TEARDOWN_MARGIN_S <
+    WARM_CAP_FLOOR_S), every non-blowout row is doomed to a last-ditch
+    cap or a loud drop while ~148 s of reserve sits waiting for the
+    tier that runs last — that run dropped pretrain (~10 s) and
+    pq_adc (~17 s) while the blowouts later underspent their reserve
+    by ~43 s. In that state the blowouts run FIRST, LARGEST reserve
+    first: each row still releases only its own share just before its
+    own gates (self-protection among blowouts is unchanged), but a
+    large release early unlocks the most true budget soonest, and the
+    tier's underspend then funds the cheapest-first mid tier instead
+    of evaporating at teardown. A pass that starts with >= 20 s of
+    visible headroom is byte-identical to the unflipped order, so
+    every normally-budgeted run is unaffected. Bias audit for the
+    flipped corner: the blowouts' single warm rep now runs before the
+    mid tier warms the DuckDB buffer cache (the OS page cache is hot
+    from the Spark phase either way) — the same 1.04-1.7x worst-case
+    cold inflation already bounded in time_duckdb's blowout-tier
+    audit, against rows graded at 25-100x margins, direction visible
+    in raw_reps. The flip is recorded in the sidecar's scale.order."""
 
     def key(name: str) -> tuple[int, float, str]:
         if specs[name].oracle_heavy:
             return (1, BLOWOUT_RESERVE_S.get(name, 0.0), name)
         return (0, ORACLE_EST_S.get(name, DEFAULT_ORACLE_EST_S), name)
 
+    held = [
+        n
+        for n in specs
+        if specs[n].oracle_heavy
+        and n in BLOWOUT_RESERVE_S
+        and n not in _RELEASED
+    ]
+    if held and remaining() - TEARDOWN_MARGIN_S < WARM_CAP_FLOOR_S:
+        _ORACLE_ORDER_FLIP["flipped"] = True
+
+        def flipped_key(name: str) -> tuple[int, float, str]:
+            if specs[name].oracle_heavy:
+                return (0, -BLOWOUT_RESERVE_S.get(name, 0.0), name)
+            return (1, ORACLE_EST_S.get(name, DEFAULT_ORACLE_EST_S), name)
+
+        return sorted(specs, key=flipped_key)
     return sorted(specs, key=key)
 
 
@@ -1266,7 +1312,10 @@ def main() -> None:
         # lower bound on the most expensive row, never a cheap
         # measurable one (round 9: as-of first starved 14 oracles;
         # round 11, 8-core: twins-first starved the 1.5-5 s plain rows
-        # behind the 12-55 s twin oracles).
+        # behind the 12-55 s twin oracles). Exception: a pass that
+        # STARTS inside the degraded-mode gate flips blowouts first so
+        # their reserve underspend funds the mid tier instead of
+        # evaporating (see oracle_pass_order; sidecar-noted).
         rest = {
             n: s for n, s in {**light, **heavy}.items() if n not in paired_specs
         }
@@ -1278,6 +1327,13 @@ def main() -> None:
         # absent from `rest`, e.g. after a registry change) must not
         # distort later remaining() readers.
         release_reserve_all()
+        if _ORACLE_ORDER_FLIP["flipped"]:
+            result["scale"]["order"] += (
+                " [reserve-scarce at oracle-pass start: oracle_heavy "
+                "blowouts ran FIRST, largest reserve first, underspend "
+                "released to the mid tier; single-rep cold bias bounded "
+                "by the same 1.04-1.7x audit vs 25-100x margins]"
+            )
         duck_t.update(dr_t)
         duck_reps.update(dr_reps)
         # Unpaired rows grade as the quotient of the two steady walls;

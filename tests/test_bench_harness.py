@@ -284,15 +284,17 @@ def test_median_reps_no_tiebreaker_without_budget(monkeypatch):
     assert med == 80.8  # the distorted mean stands, auditable via raw
 
 
-def test_oracle_pass_order_cheapest_first_blowouts_last():
+def test_oracle_pass_order_cheapest_first_blowouts_last(monkeypatch):
     """Round 11 (8-core PERF shape): the non-blowout oracle pass runs
     CHEAPEST first by the committed-walls estimate map — the old
     twin-first split sent the 12-55 s twin oracles ahead of 1.5-5 s
     plain rows and a budget death between the tiers holed the cheap
     rows. Blowouts stay last (capped lower bound decisive), cheapest
-    reserve first."""
+    reserve first. remaining() is pinned healthy so the reserve-scarce
+    flip (its own tests below) cannot fire by suite position."""
     from types import SimpleNamespace as NS
 
+    monkeypatch.setattr(bench, "remaining", lambda: 500.0)
     specs = {
         "asof_join_purchase_click": NS(bench_oracle=None, oracle_heavy=True),
         "semdedup_survivors": NS(bench_oracle="select 1", oracle_heavy=False),
@@ -740,10 +742,12 @@ def test_blowout_reserve_protects_tier2_under_budget_death(monkeypatch):
     """Round 11 run 12 (elapsed 1185/1200 s): every earlier phase drained
     the budget and the entry gate skipped all three blowout oracles — the
     suite's most Spark-favoring ratios became holes and ratio_median moved
-    0.77 -> 1.37 by omission. With the reserve, at 160 s of TRUE budget a
-    plain oracle must be the one that degrades (it sees 160 minus the
-    148 s reserve, under the 20 s gate) while the blowout row releases its
-    own share and still records a measured rep."""
+    0.77 -> 1.37 by omission. At 160 s of TRUE budget the pass starts
+    reserve-scarce (visible 12 s, inside the degraded-mode gate), so the
+    flip fires: the blowout runs FIRST on its released share and records
+    its measured rep, and the plain row — which the pre-flip order
+    degraded to a loud drop while the reserve sat unspent — now rides the
+    released budget to a full measurement. Nothing is skipped."""
     import time as _time
 
     from transilien_api_etl_spark.plans.registry import QuerySpec
@@ -760,24 +764,34 @@ def test_blowout_reserve_protects_tier2_under_budget_death(monkeypatch):
         name="events_sessionize", fn=lambda s, d: None,
         oracle="SELECT count(*) AS n FROM nation", oracle_heavy=True,
     )
+    bench.REGISTRY.setdefault("plain_q", plain)
     try:
         skipped = []
         timings, reps = bench.time_duckdb(
             {"plain_q": plain, "events_sessionize": blow},
             "/root/testdata/sf0.001", skipped=skipped,
         )
-        assert "duckdb:plain_q" in skipped  # reserve withheld -> gate
+        assert bench._ORACLE_ORDER_FLIP["flipped"]
         assert "events_sessionize" in timings  # reserve spent on itself
         assert reps["events_sessionize"] == [timings["events_sessionize"]]
+        # the blowout's released share funds the plain row: measured, not
+        # the pre-flip "duckdb:plain_q" drop (the VERY_SLOW patch above
+        # puts ALL rows in the 1-rep tier, hence no rep-count assert)
+        assert "plain_q" in timings
+        assert reps["plain_q"]
+        assert skipped == []
     finally:
+        bench.REGISTRY.pop("plain_q", None)
         bench._reset_reserve()
 
 
-def test_oracle_pass_order_tier2_cheapest_reserve_first():
+def test_oracle_pass_order_tier2_cheapest_reserve_first(monkeypatch):
     """Under a dying budget, cheapest blowout first maximizes the number
-    of tier-2 rows that record a measured rep."""
+    of tier-2 rows that record a measured rep. (remaining() pinned
+    healthy: the flip case is tested separately.)"""
     from transilien_api_etl_spark.plans.registry import QuerySpec
 
+    monkeypatch.setattr(bench, "remaining", lambda: 500.0)
     specs = {
         n: QuerySpec(name=n, fn=lambda s, d: None, oracle="SELECT 1 AS x",
                      oracle_heavy=True)
@@ -789,6 +803,70 @@ def test_oracle_pass_order_tier2_cheapest_reserve_first():
         "asof_join_purchase_click",    # 55 s
         "events_sessionize",           # 85 s
     ]
+
+
+def test_oracle_pass_order_reserve_scarce_flip(monkeypatch):
+    """Round 11 (session-4 8-core run): when the oracle pass STARTS with
+    the reserve-withheld headroom already inside the degraded-mode gate,
+    every mid-tier row is doomed to a last-ditch cap or drop while ~148 s
+    of reserve waits for the last tier — that run dropped pretrain/pq_adc
+    and the blowouts then underspent their reserve by ~43 s. The flip
+    runs blowouts FIRST, LARGEST reserve first (each release unlocks the
+    most true budget soonest), mid tier cheapest-first after."""
+    from types import SimpleNamespace as NS
+
+    specs = {
+        "asof_join_purchase_click": NS(bench_oracle=None, oracle_heavy=True),
+        "semdedup_survivors": NS(bench_oracle="select 1", oracle_heavy=False),
+        "events_sessionize": NS(bench_oracle=None, oracle_heavy=True),
+        "window_rolling_avg": NS(bench_oracle=None, oracle_heavy=True),
+        "knn_pq_adc_top10": NS(bench_oracle="select 1", oracle_heavy=False),
+        "docs_segment_dedup": NS(bench_oracle=None, oracle_heavy=False),
+    }
+    bench._reset_reserve()
+    try:
+        # visible headroom 19.9 s < TEARDOWN_MARGIN_S + WARM_CAP_FLOOR_S
+        monkeypatch.setattr(bench, "remaining", lambda: 19.9)
+        order = bench.oracle_pass_order(specs, bench_variant=True)
+        assert order == [
+            "events_sessionize",         # 85 s reserve — largest first
+            "asof_join_purchase_click",  # 55 s
+            "window_rolling_avg",        # 8 s
+            "docs_segment_dedup",        # mid tier cheapest-first after
+            "knn_pq_adc_top10",
+            "semdedup_survivors",
+        ]
+        assert bench._ORACLE_ORDER_FLIP["flipped"]
+    finally:
+        bench._reset_reserve()
+    assert not bench._ORACLE_ORDER_FLIP["flipped"]  # reset hook clears it
+
+
+def test_oracle_pass_order_no_flip_at_gate_or_when_reserve_spent(monkeypatch):
+    """The flip keys on BOTH scarcity and an unspent reserve: at exactly
+    20 s of visible headroom (the degraded-mode gate) the order is the
+    normal one, and below the gate with every blowout share already
+    released the blowouts stay LAST — flipping then would burn a dying
+    budget on the most expensive rows with nothing to release."""
+    from types import SimpleNamespace as NS
+
+    specs = {
+        "asof_join_purchase_click": NS(bench_oracle=None, oracle_heavy=True),
+        "docs_segment_dedup": NS(bench_oracle=None, oracle_heavy=False),
+    }
+    normal = ["docs_segment_dedup", "asof_join_purchase_click"]
+    bench._reset_reserve()
+    try:
+        gate = bench.TEARDOWN_MARGIN_S + bench.WARM_CAP_FLOOR_S
+        monkeypatch.setattr(bench, "remaining", lambda: gate)
+        assert bench.oracle_pass_order(specs, bench_variant=False) == normal
+        assert not bench._ORACLE_ORDER_FLIP["flipped"]
+        monkeypatch.setattr(bench, "remaining", lambda: 1.0)
+        bench.release_reserve("asof_join_purchase_click")
+        assert bench.oracle_pass_order(specs, bench_variant=False) == normal
+        assert not bench._ORACLE_ORDER_FLIP["flipped"]
+    finally:
+        bench._reset_reserve()
 
 
 def test_reserve_is_zero_when_scale_phase_disabled(monkeypatch):
