@@ -60,7 +60,7 @@ def test_semdedup_partitions_rows_into_survivors_and_dropped(spark):
     from transilien_api_etl_spark.plans.semdedup_q import _TAU, _kmeans_df
     from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
 
-    km, _ = _kmeans_df(spark, sf_dir)
+    km, _, _ = _kmeans_df(spark, sf_dir)
     km = km.withColumn("nrm", l2_norm(F.col("v")))
     a, b = km.alias("a"), km.alias("b")
     cos = F.round(

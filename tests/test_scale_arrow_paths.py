@@ -57,7 +57,7 @@ def test_semdedup_arrow_prune_matches_jvm_join(spark):
     from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
     from transilien_api_etl_spark.plans.semdedup_q import _TAU, _kmeans_df
 
-    km, k = _kmeans_df(spark, SF)
+    km, k, _ = _kmeans_df(spark, SF)
     assert k == 8  # sf0.001 must stay in the oracle's k domain
     arrow_surv = {
         (r["vec_id"], r["cluster"])

@@ -254,7 +254,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
-def widen_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+# Below this many input rows, widen_small_scan skips the round-robin
+# repartition even on a single-split source (round 12): the repartition
+# costs an exchange (plus the sort-before-repartition pass) and turns every
+# downstream job into 32 scheduled tasks, which at a 2 000-row driver SF is
+# pure overhead now that the heavy per-row kernels run through Arrow —
+# measured on the PQ train loop at sf0.1: 1.4 s unwidened vs 3.7-5.5 s
+# widened (books bit-identical; the r11 widen win was against the
+# since-replaced interpreted JVM fold). A single-split input ABOVE this
+# bound still widens: one task over 10⁵+ heavy rows is the genuine §2.5
+# input-skew case the helper exists for. Callers that know their row count
+# pass it; n_rows=None keeps the unconditional round-11 behavior.
+WIDEN_MIN_ROWS = 100_000
+
+
+def widen_small_scan(
+    spark: SparkSession, df: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """Round-robin repartition ``df`` to the session parallelism when its
     source would otherwise run on fewer tasks (guide §2.5/§6.1 — input
     parallelism). The driver SFs are single-row-group parquet files, so
@@ -275,6 +291,8 @@ def widen_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     depends on the physical row placement (the kmeans/PQ centroid-mean
     rounding margin vs partial-sum order is the SAME contract the 32-file
     scale cache already exercises against the DuckDB oracles)."""
+    if n_rows is not None and n_rows < WIDEN_MIN_ROWS:
+        return df
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

@@ -143,17 +143,22 @@ def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def kmeans_fit(
-    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int,
+    n_rows: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Run ``iterations`` Lloyd steps and return the FINAL centroids —
-    the driver-held model, e.g. as a PQ codebook (operators/pq.py)."""
+    the driver-held model, e.g. as a PQ codebook (operators/pq.py).
+    ``n_rows``, when the caller knows it, lets the widen guard skip the
+    round-robin exchange on tiny inputs (io.WIDEN_MIN_ROWS)."""
     df = _normalize(emb, id_col, vec_col)
     # Single-row-group driver SFs plan ONE input split: widen so the
     # assignment/update map work uses every core instead of one task
-    # (io.widen_small_scan — guarded no-op at scale, measured round 11).
+    # (io.widen_small_scan — guarded no-op at scale, measured round 11;
+    # size-gated round 12: at <1e5 rows the exchange costs more than the
+    # single-task work).
     from transilien_api_etl_spark.io import widen_small_scan
 
-    df = widen_small_scan(emb.sparkSession, df)
+    df = widen_small_scan(emb.sparkSession, df, n_rows)
     # Cache the normalized vectors across Lloyd iterations (the MLlib
     # pattern): every iteration re-reads df; without this each one re-scans
     # parquet and re-folds v·v. MEMORY_AND_DISK so a 100 TB input degrades
@@ -204,7 +209,8 @@ def kmeans_fit(
 
 
 def kmeans_assign(
-    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd steps, return (id, cluster, d2) assignments.
 
@@ -212,23 +218,39 @@ def kmeans_assign(
     uniform length. Empty clusters are dropped (both here and in the SQL
     oracle — the same rows vanish from the update group-by on both engines).
     """
+    df, _ = kmeans_assign_model(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
+        n_rows=n_rows,
+    )
+    return df
+
+
+def kmeans_assign_model(
+    emb: DataFrame, *, id_col: str, vec_col: str, k: int, iterations: int,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """:func:`kmeans_assign` plus the fitted centroids — for consumers that
+    need the model's shape (e.g. the SemDeDup prune derives the vector dim
+    for its codegen-able pair predicate from ``centroids[0]``) without a
+    second fit."""
     centroids = kmeans_fit(
-        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
+        n_rows=n_rows,
     )
     from transilien_api_etl_spark.io import widen_small_scan
 
-    df = widen_small_scan(emb.sparkSession, _normalize(emb, id_col, vec_col))
+    df = widen_small_scan(emb.sparkSession, _normalize(emb, id_col, vec_col), n_rows)
     if k >= ARROW_K_MIN:
         return _assign_arrow_df(df, centroids, id_col).select(
             F.col(id_col), F.col("v"), F.col("cluster"), F.col("d2")
-        )
+        ), centroids
     best = _assign_col(centroids, "vv", "v")
     return df.withColumn("best", best).select(
         F.col(id_col),
         F.col("v"),
         F.col("best.cid").alias("cluster"),
         F.col("best.d").alias("d2"),
-    )
+    ), centroids
 
 
 def kmeans_oracle_cte(

@@ -49,6 +49,7 @@ def pq_train(
     k: int,
     iterations: int,
     sample_mod: int = 1,
+    n_rows: int | None = None,
 ) -> list[Codebook]:
     """M subspace codebooks, trained FUSED: all M assignments evaluate in
     one expression per iteration (pq_codes_col against the current literal
@@ -82,7 +83,12 @@ def pq_train(
     # session 5; no-op at scale — io.widen_small_scan).
     from transilien_api_etl_spark.io import widen_small_scan
 
-    df = widen_small_scan(emb.sparkSession, df)
+    # n_rows is the CALLER's corpus count; what each iteration scans is the
+    # sample, so the widen guard sees n_rows/sample_mod (round 12: tiny
+    # inputs skip the exchange — see io.WIDEN_MIN_ROWS).
+    df = widen_small_scan(
+        emb.sparkSession, df, None if n_rows is None else n_rows // sample_mod
+    )
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     init = df.orderBy(id_col).limit(k).select("v").collect()
@@ -95,8 +101,22 @@ def pq_train(
     ]
 
     for _ in range(iterations):
-        codes = pq_codes_col(books, "v", sub_dim)
-        ex = df.select(F.col("v").alias("v0"), F.posexplode(codes).alias("m", "cid"))
+        # Per-iteration assignment as ONE fused Arrow pass over the cached
+        # sample (round 12, VERDICT r11 task 3 / guide §4.2): all M
+        # subspace argmins evaluate as matmuls in one mapInArrow with the
+        # vector riding along for the update, replacing the interpreted
+        # transform-fold projection (CodegenFallback — M·k named_structs
+        # per row evaluated boxed; measured ~0.54 s/iteration at a mere
+        # 2 000×64 and multi-second at the 66 k-row twin sample). Codes
+        # verified IDENTICAL to the fold on every driver SF and the twin
+        # bound (scripts/r12_pq_arrow_parity.py), so the per-(m,cid,d)
+        # means — rounded to ROUND_DP — are unchanged.
+        enc = pq_codes_arrow(
+            df, books, sub_dim, id_col=id_col, vec_col="v", keep_vec=True
+        )
+        ex = enc.select(
+            F.col("v").alias("v0"), F.posexplode("codes").alias("m", "cid")
+        )
         vals = ex.select(
             "m",
             "cid",
@@ -143,25 +163,38 @@ def pq_codes_arrow(
     *,
     id_col: str,
     vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Corpus encoding as an Arrow kernel: all M subspace argmins evaluate
     as (batch × sub_dim) @ (sub_dim × k) matmuls instead of the interpreted
     ``transform`` fold (the fold evaluates M·k·sub_dim interpreter ops per
     ROW — measured 80 s for the full knn_pq_adc query at 1 M×64 vs ~8 s
-    with this kernel). Same semantics as :func:`pq_codes_col`: d² rounded
-    to ROUND_DP, lowest-cid tie-break (np.argmin returns the first
+    with this kernel; round 12 re-measured the fold at 1.5 s for a mere
+    2 000 rows — HOFs are CodegenFallback, every named_struct+round is an
+    interpreted boxed eval). Same semantics as :func:`pq_codes_col`: d²
+    rounded to ROUND_DP, lowest-cid tie-break (np.argmin returns the first
     minimum, and codebooks are cid-sorted); only the float summation order
-    differs, so callers keep the JVM form inside the oracle-parity domain
-    (plans/pq_q.py switches on corpus size). Output: (id_col, codes
-    array<int>)."""
-    encode = _pq_encode_kernel(books, sub_dim, id_col=id_col, vec_col=vec_col)
-    return df.select(id_col, vec_col).mapInArrow(
-        encode, f"{id_col} long, codes array<int>"
+    differs (pairwise matmul vs sequential), which round 12 verified
+    produces IDENTICAL codes and therefore identical Lloyd updates on
+    every driver SF and the scale cache (scripts/r12_pq_arrow_parity.py;
+    the driver's oracle MATCH re-proves it end-to-end), so this kernel is
+    now the single encode path at every corpus size. ``keep_vec=True``
+    additionally passes the raw vector column through (the train loop
+    posexplodes codes next to the vector for the centroid update — one
+    Arrow pass, no join back). Output: (id_col, codes array<int>[,
+    vec_col])."""
+    encode = _pq_encode_kernel(
+        books, sub_dim, id_col=id_col, vec_col=vec_col, keep_vec=keep_vec
     )
+    schema = f"{id_col} long, codes array<int>"
+    if keep_vec:
+        schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
+    return df.select(id_col, vec_col).mapInArrow(encode, schema)
 
 
 def _pq_encode_kernel(
-    books: list[Codebook], sub_dim: int, *, id_col: str, vec_col: str
+    books: list[Codebook], sub_dim: int, *, id_col: str, vec_col: str,
+    keep_vec: bool = False,
 ):
     """The mapInArrow generator behind :func:`pq_codes_arrow`, exposed at
     module level so tests can drive it with explicit batches (Spark elides
@@ -200,10 +233,12 @@ def _pq_encode_kernel(
             # schema (the kmeans kernel's empty path stays typed because
             # its columns come from numpy; this one is a Python list of
             # rows). ADVICE r7.
-            yield pa.RecordBatch.from_arrays(
-                [vid, pa.array(list(codes), type=pa.list_(pa.int32()))],
-                [id_col, "codes"],
-            )
+            arrays = [vid, pa.array(list(codes), type=pa.list_(pa.int32()))]
+            names = [id_col, "codes"]
+            if keep_vec:
+                arrays.append(batch.column(1))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     return encode
 

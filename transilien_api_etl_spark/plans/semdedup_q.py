@@ -17,13 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transilien_api_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+from transilien_api_etl_spark.functions.vectors import l2_norm
 from transilien_api_etl_spark.io import (
     cached_bounded_count,
     cached_row_count,
     load_table,
 )
-from transilien_api_etl_spark.operators.kmeans import kmeans_assign, kmeans_oracle_cte
+from transilien_api_etl_spark.operators.kmeans import (
+    kmeans_assign_model,
+    kmeans_oracle_cte,
+)
 from transilien_api_etl_spark.operators.semdedup import within_cluster_survivors
 from transilien_api_etl_spark.plans.registry import register
 from transilien_api_etl_spark.scale import KEY_STRIDE
@@ -93,7 +96,14 @@ def _derived_k(n: int) -> int:
 # cap the full-corpus unrolled-CTE chain hits at 1 M
 # (scripts/bench_twin_probe.py). On driver testdata vec_id < KEY_STRIDE,
 # so the filter is a no-op and fn ≡ bench_fn (tests/test_bench_variants).
-_BENCH_REPLICA_CAP = 64
+#
+# Round 12 (VERDICT r11 task 1): 64 → 48 replicas (96 k vectors). The
+# ~17-27 s twin oracle was one of the r11 driver run's budget holes; at
+# 96 k the derived k = 24 still clears ARROW_K_MIN, so the twin keeps
+# exercising the genuine scale path (Arrow assignment + per-cluster gram
+# prune) while the NOT-EXISTS oracle — linear in n at fixed cluster size —
+# drops ~25%.
+_BENCH_REPLICA_CAP = 48
 _BENCH_VEC_BOUND = _BENCH_REPLICA_CAP * KEY_STRIDE
 
 # _derived_k as one SQL expression (DuckDB accepts scalar subqueries in
@@ -108,7 +118,7 @@ _K_EXPR_SQL = (
 
 def _kmeans_df(
     spark: SparkSession, sf_dir: str, vec_bound: int | None = None
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int]:
     emb = load_table(spark, sf_dir, "embeddings")
     if vec_bound is None:
         n = cached_row_count(spark, sf_dir, "embeddings")
@@ -116,10 +126,12 @@ def _kmeans_df(
         emb = emb.filter(F.col("vec_id") < vec_bound)
         n = cached_bounded_count(spark, sf_dir, "embeddings", "vec_id", vec_bound)
     k = _derived_k(n)
-    return (
-        kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=k, iterations=_ITERS),
-        k,
+    km, centroids = kmeans_assign_model(
+        emb, id_col="vec_id", vec_col="embedding", k=k, iterations=_ITERS,
+        n_rows=n,
     )
+    dim = len(centroids[0][1]) if centroids else 0
+    return km, k, dim
 
 
 @register(
@@ -137,7 +149,7 @@ SELECT vec_id, cluster, d2 FROM af ORDER BY vec_id
 )
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    km, _ = _kmeans_df(spark, sf_dir)
+    km, _, _ = _kmeans_df(spark, sf_dir)
     return km.select("vec_id", "cluster", "d2").orderBy("vec_id")
 
 
@@ -145,7 +157,7 @@ def _survivors(
     spark: SparkSession, sf_dir: str, vec_bound: int | None = None
 ) -> DataFrame:
     ensure_query_confs(spark)
-    km, k = _kmeans_df(spark, sf_dir, vec_bound)
+    km, k, dim = _kmeans_df(spark, sf_dir, vec_bound)
     if k > _K:
         # Scale path (outside the oracle's k=8 / bit-parity domain, which
         # no driver SF leaves): per-cluster gram-matrix prune in a grouped
@@ -155,35 +167,50 @@ def _survivors(
         # Θ(n·k) assignment lineage twice (once per join side).
         return within_cluster_survivors(km, _TAU).orderBy("vec_id")
     km = km.withColumn("nrm", l2_norm(F.col("v")))
+    # Lazy localCheckpoint before the self-join (round 12, guide §3.3/§5):
+    # without it BOTH anti-join sides re-execute the whole assignment
+    # lineage (scan → normalize → assign fold → norm fold) — measured
+    # sf0.1: 6.7 s → 1.7 s full-query with the checkpoint, survivor set
+    # value-identical. Bounded by construction: this branch only runs at
+    # k == _K, i.e. n ≤ _K·_TARGET_CLUSTER = 32 000 rows (~17 MB of
+    # blocks), materialized inside the timed computation on every
+    # invocation (nothing persists across runs; the blocks are released
+    # by Spark's ContextCleaner when the frame is dropped). The scale
+    # path above never self-joins — its kernel already holds the whole
+    # cluster.
+    km = km.localCheckpoint(eager=False)
     a = km.alias("a")
     b = km.alias("b")
-    cos = F.round(
-        cosine_from_norms(
-            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-        ),
-        6,
-    )
     # ONE left-anti join with the whole dup predicate in the join
     # condition (round 11): "survivor" IS an anti-exists, and the
     # hash-join probe short-circuits a row at its FIRST qualifying
-    # neighbour, so dup-dense clusters skip most of their per-pair cosine
-    # folds — where the previous inner-join → filter → distinct →
-    # left-anti shape evaluated the fold on every one of the ~250 k
-    # within-cluster pairs at sf0.1 and then paid a dedup exchange plus a
-    # second join over the Θ(n·k) assignment lineage. Measured (round 11
-    # session 5, sf0.1 headline wall, with the kmeans string-form
-    # assignment + widened scan landing together): semdedup_survivors
-    # 5.59 s → 3.38 s (scripts/headline_walls_ab.py, BASELINE.md);
-    # identical survivor set — the driver oracle MATCHes at sf0.01 and
-    # sf0.1, and NaN cosines still land on the dup side (Spark orders NaN
-    # above every value in the join condition exactly as it did in the
-    # filter).
+    # neighbour. Round 12 (guide §4.1/§1.2 "per-task work"): the per-pair
+    # cosine is now an EXPLICIT string-form left fold
+    # ((0.0 + a.v[0]*b.v[0]) + a.v[1]*b.v[1]) + … instead of the
+    # aggregate(zip_with(…)) higher-order fold — HOFs are CodegenFallback,
+    # so the old predicate interpreted ~64 boxed lambda steps per PROBED
+    # PAIR (~250 k pairs at sf0.1); the scalar form compiles into the
+    # join's generated code. Identical arithmetic: same left-to-right
+    # double summation starting at 0.0 (the dot() fold order), same
+    # round-half-up before the >= τ cut, NaN still ordered above every
+    # value by the JVM comparison so NaN cosines stay on the dup side.
+    # Measured sf0.1 (this round's probe): the anti-join action dropped
+    # ~3.0 s → ~0.5 s; survivor set value-identical (driver oracle MATCH
+    # at every SF re-proves it end-to-end). Out-of-contract ragged rows:
+    # v[d] past the end yields NULL and poisons the product/sum to NULL
+    # exactly as the zip_with pad did, except rows LONGER than dim, which
+    # score on the first dim elements (the _assign_col footnote — outside
+    # the uniform-length data contract either way).
+    ip = "0.0D"
+    for d in range(dim):
+        ip = f"({ip} + (a.v[{d}] * b.v[{d}]))"
+    cos_ge_tau = F.expr(f"round(({ip}) / (a.nrm * b.nrm), 6) >= {_TAU}")
     return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("b.vec_id") < F.col("a.vec_id"))
-            & (cos >= F.lit(_TAU)),
+            & cos_ge_tau,
             "left_anti",
         )
         .select(F.col("a.vec_id").alias("vec_id"), F.col("a.cluster").alias("cluster"))
