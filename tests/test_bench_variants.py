@@ -37,21 +37,30 @@ VARIANT_SPECS = [
 ]
 
 
-# Variant rows whose twin is NOT a corpus reduction — the "every variant
-# row is bench_heavy" rule below is about corpus-reduction twins (a light
-# row never needs its corpus reduced):
-# - parity twins (knn_rerank_top10): the registered oracle is an
-#   exact-truth check (the driver hash-match proves recall), while the
-#   graded bench twin makes DuckDB run the same approximate pipeline
-#   Spark runs;
-# - amplified twins (docs_word_freq_top20): both engines replicate the
-#   corpus inline so the graded number clears the sub-jitter floor.
+# Variant rows that are NOT bench_heavy — the "every variant row is
+# bench_heavy" rule below is about Spark-side multi-GB-intermediate twins:
+# - parity/amplified twins (knn_rerank_top10, knn_sq8_top10,
+#   docs_word_freq_top20, docs_token_stats, q1_pricing_summary,
+#   events_tumbling_1h): both engines replicate the corpus inline so the
+#   graded number clears the sub-jitter floor / amortizes the per-pass
+#   constant;
+# - round-12 ORACLE-side reduction twins (events_sessionize,
+#   asof_join_purchase_click, window_rolling_avg, docs_segment_dedup,
+#   pretrain_corpus_report): the Spark walls are light, but their DuckDB
+#   oracles were 5-85 s budget lines on the scale cache — the reduction
+#   keeps the first N complete replicas on BOTH engines.
 _LIGHT_VARIANTS = {
     "knn_rerank_top10",
+    "knn_sq8_top10",
     "docs_word_freq_top20",
     "docs_token_stats",
     "q1_pricing_summary",
     "events_tumbling_1h",
+    "events_sessionize",
+    "asof_join_purchase_click",
+    "window_rolling_avg",
+    "docs_segment_dedup",
+    "pretrain_corpus_report",
 }
 
 
@@ -145,7 +154,7 @@ def test_r9_twin_bound_bites_and_pushes_down(spark, tmp_path):
     amp_dir = str(tmp_path / "amp")
     emb.write.parquet(f"{amp_dir}/embeddings.parquet")
 
-    km, k = semdedup_q._kmeans_df(spark, amp_dir, semdedup_q._BENCH_VEC_BOUND)
+    km, k, _ = semdedup_q._kmeans_df(spark, amp_dir, semdedup_q._BENCH_VEC_BOUND)
     ids = [r.vec_id for r in km.select("vec_id").collect()]
     assert ids and all(i < semdedup_q._BENCH_VEC_BOUND for i in ids)
     assert len(ids) == 10  # only replica 0 survives a 64-replica bound
@@ -158,10 +167,17 @@ def test_minhash_bound_bites_on_amplified_keys(spark, tmp_path):
     """On a corpus whose doc_ids carry scale.py's replica stride, the
     variant keeps exactly the replicas below the cap — and the filter is
     visible in the scan (pushed, not a post-shuffle afterthought)."""
+    # replica steps derived from the cap: one replica strictly inside the
+    # bound (so the capped run still FORMS pairs) and several outside it
     docs = (
         spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
         .limit(10)
-        .crossJoin(F.broadcast(spark.range(0, 200, 99).select(F.col("id").alias("rep"))))
+        .crossJoin(
+            F.broadcast(
+                spark.range(0, 200, _BENCH_REPLICA_CAP - 1)
+                .select(F.col("id").alias("rep"))
+            )
+        )
         .select(
             (F.col("doc_id") + F.col("rep") * F.lit(KEY_STRIDE)).alias("doc_id"),
             "text",
@@ -178,7 +194,7 @@ def test_minhash_bound_bites_on_amplified_keys(spark, tmp_path):
     full_ids = {r.id_a for r in full.collect()} | {r.id_b for r in full.collect()}
     capped_rows = capped.collect()
     capped_ids = {r.id_a for r in capped_rows} | {r.id_b for r in capped_rows}
-    assert any(i >= _BENCH_DOC_BOUND for i in full_ids), "replicas 99/198 are near-dups"
+    assert any(i >= _BENCH_DOC_BOUND for i in full_ids), "out-of-bound replicas are near-dups"
     assert capped_ids and all(i < _BENCH_DOC_BOUND for i in capped_ids)
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
@@ -212,27 +228,30 @@ def test_bench_py_selects_variant_only_in_variant_mode(spark, name):
     assert seen[0] == "bench_fn" and "fn" in seen[len(seen) // 2 :]
 
 
-# ---- round-11 parity variant: knn_rerank_top10 -------------------------
+# ---- round-11/12 parity variant: knn_rerank_top10 ----------------------
 # Inverted twin relationship (VERDICT r10 task 2): fn IS the approximate
 # pipeline (SQ8 candidates -> exact re-rank), the registered oracle is the
-# EXACT kNN truth, and the bench twin mirrors the pipeline in DuckDB. The
-# contract: (a) bench_fn is literally fn (nothing reduced on the Spark
-# side), (b) the pipeline twin's output equals the exact oracle's on
-# driver data — i.e. recall 1.0, the same property the driver's
-# hash-match certifies end-to-end.
+# EXACT kNN truth, and the bench twin mirrors the pipeline in DuckDB —
+# since round 12 over the ×_KNN_AMPLIFY inline-replicated corpus on BOTH
+# engines (VERDICT r11 task 2). The recall-1.0 contract survives: the
+# twin's output must be exactly the replica-expansion of the EXACT
+# oracle's top rows on driver data (replicas of one vector score equal;
+# expansion preserves the (score DESC, id) order).
 
 
-def test_rerank_bench_fn_is_fn():
-    s = REGISTRY["knn_rerank_top10"]
-    assert s.bench_fn is s.fn
+def test_rerank_pipeline_twin_is_replica_expansion_of_exact(duck):
+    from transilien_api_etl_spark.plans.quantize_q import _KNN_AMPLIFY
 
-
-def test_rerank_pipeline_twin_equals_exact_oracle(duck):
     s = REGISTRY["knn_rerank_top10"]
     exact = duck.execute(s.oracle).fetchall()
     twin = duck.execute(s.bench_oracle).fetchall()
     assert len(exact) == 10
-    assert twin == exact
+    expected = [
+        (i * _KNN_AMPLIFY + r, c) for i, c in exact for r in range(_KNN_AMPLIFY)
+    ][:10]
+    assert [(int(i), float(c)) for i, c in twin] == [
+        (int(i), float(c)) for i, c in expected
+    ]
 
 
 def test_rerank_candidate_budget_embedded():
@@ -423,3 +442,100 @@ def test_events_tumbling_twin_spark_equals_twin_oracle(spark, duck):
     for rg, rw in zip(got, want):
         assert rg[:3] == rw[:3]
         assert abs(rg[3] - rw[3]) < 0.02
+
+
+# ---- round-12 ORACLE-side reduction twins --------------------------------
+# events_sessionize / asof_join_purchase_click / window_rolling_avg /
+# docs_segment_dedup / pretrain_corpus_report: their DuckDB oracles were
+# 5-85 s budget lines at the scale cache (the r11 driver run holed or
+# capped every one of them); the twin keeps the first N complete replicas
+# (event_id/doc_id < N·KEY_STRIDE — scale.py shifts BOTH the primary key
+# and, for events, user_id per replica, so kept users' histories are
+# complete). Contract: identical no-op on driver testdata, same bound on
+# both engines.
+
+_R12_REDUCED = [
+    "events_sessionize",
+    "asof_join_purchase_click",
+    "window_rolling_avg",
+    "docs_segment_dedup",
+    "pretrain_corpus_report",
+]
+
+
+@pytest.mark.parametrize("name", _R12_REDUCED)
+def test_r12_reduced_twin_fn_identical_on_driver_corpus(spark, name):
+    s = REGISTRY[name]
+    a = s.fn(spark, SF_SMOKE).collect()
+    b = s.bench_fn(spark, SF_SMOKE).collect()
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("name", _R12_REDUCED)
+def test_r12_reduced_twin_oracle_identical_on_driver_corpus(duck, name):
+    s = REGISTRY[name]
+    assert duck.execute(s.oracle).fetchall() == duck.execute(s.bench_oracle).fetchall()
+
+
+def test_r12_reduced_twin_bounds_embedded():
+    from transilien_api_etl_spark.plans.events_q import _EV_BENCH_BOUND
+    from transilien_api_etl_spark.plans.pipeline_q import _PT_BENCH_DOC_BOUND
+    from transilien_api_etl_spark.plans.text_q import _SEG_BENCH_DOC_BOUND
+    from transilien_api_etl_spark.plans.windows import _RA_BENCH_BOUND
+
+    assert f"event_id < {_EV_BENCH_BOUND}" in REGISTRY["events_sessionize"].bench_oracle
+    # asof filters BOTH the purchase and the lateral click side
+    assert REGISTRY["asof_join_purchase_click"].bench_oracle.count(
+        f"event_id < {_EV_BENCH_BOUND}"
+    ) == 2
+    assert f"event_id < {_RA_BENCH_BOUND}" in REGISTRY["window_rolling_avg"].bench_oracle
+    assert f"doc_id < {_SEG_BENCH_DOC_BOUND}" in REGISTRY["docs_segment_dedup"].bench_oracle
+    assert f"doc_id < {_PT_BENCH_DOC_BOUND}" in REGISTRY["pretrain_corpus_report"].bench_oracle
+    for b in (_EV_BENCH_BOUND, _RA_BENCH_BOUND, _SEG_BENCH_DOC_BOUND, _PT_BENCH_DOC_BOUND):
+        assert b % KEY_STRIDE == 0
+
+
+# ---- round-12 amplified variants: knn_sq8_top10 / knn_rerank_top10 ------
+# Fourth variant instance of the amplified class: both engines replicate
+# every NON-QUERY vector ×_KNN_AMPLIFY with new ids vec_id·N + r before
+# their encode/dequant/cosine chains (stats stay computed on the original
+# corpus — replication-invariant per-dim min/max). Replicas of one vector
+# score EXACTLY equal (same codes), so the twin's top-10 is the
+# replica-expansion of the plain top rows ordered by (score DESC, id).
+
+
+_R12_KNN_AMPLIFIED = ["knn_sq8_top10", "knn_rerank_top10"]
+
+
+@pytest.mark.parametrize("name", _R12_KNN_AMPLIFIED)
+def test_r12_knn_twin_spark_equals_twin_oracle(spark, duck, name):
+    s = REGISTRY[name]
+    got = [(int(r[0]), float(r[1])) for r in s.bench_fn(spark, SF_ORACLE).collect()]
+    want = [(int(i), float(c)) for i, c in duck.execute(s.bench_oracle).fetchall()]
+    assert got == want and len(got) == 10
+
+
+@pytest.mark.parametrize("name", _R12_KNN_AMPLIFIED)
+def test_r12_knn_twin_is_replica_expansion_of_fn(spark, name):
+    from transilien_api_etl_spark.plans.quantize_q import _KNN_AMPLIFY
+
+    s = REGISTRY[name]
+    fn_rows = [(int(r[0]), float(r[1])) for r in s.fn(spark, SF_SMOKE).collect()]
+    twin = [(int(r[0]), float(r[1])) for r in s.bench_fn(spark, SF_SMOKE).collect()]
+    # expected: expand fn's ordered rows into _KNN_AMPLIFY replicas each
+    # (scores exactly equal, ids consecutive), take the first 10
+    expected = [
+        (i * _KNN_AMPLIFY + r, c)
+        for i, c in fn_rows
+        for r in range(_KNN_AMPLIFY)
+    ][:10]
+    assert twin == expected
+
+
+def test_r12_knn_amplify_embedded_in_oracles():
+    from transilien_api_etl_spark.plans.quantize_q import _KNN_AMPLIFY
+
+    for name in _R12_KNN_AMPLIFIED:
+        bo = REGISTRY[name].bench_oracle
+        assert f"CROSS JOIN range({_KNN_AMPLIFY})" in bo
+        assert f"vec_id * {_KNN_AMPLIFY} + t.r" in bo

@@ -21,7 +21,25 @@ from transilien_api_etl_spark.operators.joins import asof_join, range_join
 from transilien_api_etl_spark.operators.sessionize import sessionize
 from transilien_api_etl_spark.operators.dedup import exact_dedup
 from transilien_api_etl_spark.plans.registry import register
+from transilien_api_etl_spark.scale import KEY_STRIDE
 from transilien_api_etl_spark.session import ensure_query_confs
+
+# Reduced-corpus bench twins for the two oracle_heavy blowout rows
+# (round 12, VERDICT r11 task 1 — the oracle pass must COMPLETE on a
+# 1.3×-slower box). Their DuckDB oracles were the budget's largest fixed
+# lines: sessionize 32-85 s and the LATERAL as-of 23-56 s at the 10 M-event
+# cache, each bankrolled by a BLOWOUT_RESERVE_S share that starved every
+# earlier phase ~140 s sooner. The scale cache replicates events with
+# event_id += replica·KEY_STRIDE AND user_id += replica·10⁶ (scale.py), so
+# an event_id bound keeps the first _EV_BENCH_REPLICA_CAP replicas as
+# COMPLETE per-user event histories — sessions/matches inside the kept
+# replicas are exactly what the full corpus computes for them. Both
+# engines filter identically; the rows grade at 25-100× Spark-favoring
+# margins, which a corpus reduction cannot move anywhere near a bar. On
+# driver testdata event_id < KEY_STRIDE → the bound is a no-op and
+# fn ≡ bench_fn (tests/test_bench_variants.py).
+_EV_BENCH_REPLICA_CAP = 25
+_EV_BENCH_BOUND = _EV_BENCH_REPLICA_CAP * KEY_STRIDE
 
 
 # Inline-amplification factor for the events_tumbling_1h bench twin
@@ -147,10 +165,41 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
+    bench_fn=lambda spark, sf_dir: _events_sessionize(
+        spark, sf_dir, _EV_BENCH_BOUND
+    ),
+    bench_oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_id < {_EV_BENCH_BOUND}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value, min(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events_sessionize(spark, sf_dir)
+
+
+def _events_sessionize(
+    spark: SparkSession, sf_dir: str, event_bound: int | None = None
+) -> DataFrame:
     ensure_query_confs(spark)
     e = load_table(spark, sf_dir, "events")
+    if event_bound is not None:
+        # plain comparison on the scan column → pushed to the parquet reader
+        e = e.filter(F.col("event_id") < event_bound)
     s = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
     return (
         s.groupBy("user_id", "session_id")
@@ -215,10 +264,36 @@ LEFT JOIN LATERAL (
 WHERE p.event_type = 'purchase'
 ORDER BY p.event_id
 """,
+    bench_fn=lambda spark, sf_dir: _asof_join_purchase_click(
+        spark, sf_dir, _EV_BENCH_BOUND
+    ),
+    bench_oracle=f"""
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    AND c.event_id < {_EV_BENCH_BOUND}
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase' AND p.event_id < {_EV_BENCH_BOUND}
+ORDER BY p.event_id
+""",
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asof_join_purchase_click(spark, sf_dir)
+
+
+def _asof_join_purchase_click(
+    spark: SparkSession, sf_dir: str, event_bound: int | None = None
+) -> DataFrame:
     ensure_query_confs(spark)
     e = load_table(spark, sf_dir, "events")
+    if event_bound is not None:
+        # plain comparison on the scan column → pushed to the parquet reader
+        e = e.filter(F.col("event_id") < event_bound)
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     matched = asof_join(
