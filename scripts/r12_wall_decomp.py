@@ -6,6 +6,12 @@
 Times each pipeline phase separately (guide §1: measure first, isolate the
 expensive stage) so the round-12 trims target the measured cost, not the
 assumed one. Read-only: no repo state is touched.
+
+NOTE: the PQ phases below time the LEGACY interpreted-fold path
+(pq_codes_col) on purpose — they are the BEFORE measurements that
+motivated round 12's Arrow train/encode switch. The shipped query path
+is pq_codes_arrow (operators/pq.py); its close-out decomposition is in
+OPTIMIZATION_r12.md "Session close".
 """
 from __future__ import annotations
 
