@@ -292,6 +292,31 @@ PAIRED_ROWS = (
     "range_join_banded_global",
 )
 
+# Paired rows that get EXTRA timed reps on a calm box (round 12, final
+# session). These four are the suite's storm-exposed near-bar rows: their
+# calm-box quotients sit at 1.0-1.7 (so a single bad grade crosses the 2×
+# bar) and their Spark side is Arrow-boundary/aggregation work that this
+# round's boxes inflated 2-5× in one-sided multi-minute storms while
+# DuckDB stayed flat. At 5 reps, a 3-rep storm window contaminates EVERY
+# steady-3 window (measured: word_freq quotient reps [1.82, 2.13, 4.14,
+# 6.43, 1.51] graded 2.134 — the best window still held one storm rep);
+# at 7 reps a trailing calm pair restores a clean window. Symmetry is
+# preserved by construction: the extra reps run inside time_paired's
+# alternating loop, so BOTH engines of the quotient get the identical
+# count and estimator (the code-review-r9 rule); cost is ~2×(spark+duck)
+# per row ≈ 40-60 s against the ~380 s the round-12 budget work freed,
+# and the drift gate drops the extras to 0 on a degraded box exactly
+# like the 5→3 fast-tier drop.
+STORM_EXPOSED_ROWS = frozenset(
+    {
+        "docs_word_freq_top20",
+        "q1_pricing_summary",
+        "knn_sq8_top10",
+        "knn_rerank_top10",
+    }
+)
+EXTRA_STORM_REPS = 2
+
 # One-line pointer from the grade block to the measured plain-q3/q5
 # scaling record (VERDICT r9 task 3 + r10 task 1; BASELINE.md "Round-11:
 # the 4x curve point"): Spark's growth is LINEAR at both margins
@@ -563,6 +588,13 @@ def fast_tier_reps() -> int:
     """5 on a calm box; 3 when the sentinel reads the box >= DRIFT_GATE
     slower than the committed reference (both engines alike)."""
     return 3 if _DRIFT["v"] >= DRIFT_GATE else 5
+
+
+def storm_extra_reps() -> int:
+    """Extra paired reps for STORM_EXPOSED_ROWS: +2 on a calm box, 0 when
+    the drift gate has already dropped the fast tier to 3 (a degraded box
+    needs the budget more than the robustness)."""
+    return 0 if _DRIFT["v"] >= DRIFT_GATE else EXTRA_STORM_REPS
 
 
 def bucketed_reps() -> tuple[int, int]:
@@ -1184,7 +1216,13 @@ def time_paired(
         s_raw: list[float] = []
         d_raw: list[float] = []
         hit_cap = False
-        for _ in range(1 if degraded else n_reps):
+        # Storm-exposed near-bar rows take extra alternating reps on a
+        # calm box (see STORM_EXPOSED_ROWS) — the count applies to BOTH
+        # engines of the quotient alike, inside this one loop.
+        row_reps = n_reps + (
+            storm_extra_reps() if name in STORM_EXPOSED_ROWS else 0
+        )
+        for _ in range(1 if degraded else row_reps):
             last_pair = (s_raw[-1] + d_raw[-1]) if s_raw else 0.0
             if s_raw and remaining() < last_pair + 30:
                 if skipped is not None:

@@ -364,9 +364,14 @@ def test_force_reps_cold_cache_keeps_full_reps(monkeypatch):
     assert med == 1.0
 
 
-def _fake_paired_harness(monkeypatch, spark_deltas, duck_deltas, n_warm=1):
+def _fake_paired_harness(
+    monkeypatch, spark_deltas, duck_deltas, n_warm=1, name="fake_q", n_reps=None
+):
     """Drive bench.time_paired with a scripted clock: spark rep i takes
-    spark_deltas[i], oracle rep i returns duck_deltas[i] directly."""
+    spark_deltas[i], oracle rep i returns duck_deltas[i] directly.
+    ``n_reps`` defaults to len(duck_deltas); pass a smaller base count to
+    exercise the STORM_EXPOSED_ROWS extra-rep path (the deltas lists must
+    then hold base+extra values)."""
     from transilien_api_etl_spark.plans.registry import QuerySpec
 
     monkeypatch.setattr(bench, "remaining", lambda: 1e9)
@@ -377,8 +382,8 @@ def _fake_paired_harness(monkeypatch, spark_deltas, duck_deltas, n_warm=1):
             log.append("S")
             return 1
 
-    spec = QuerySpec(name="fake_q", fn=lambda s, d: FakeResult(), oracle="SELECT 1")
-    monkeypatch.setitem(bench.REGISTRY, "fake_q", spec)
+    spec = QuerySpec(name=name, fn=lambda s, d: FakeResult(), oracle="SELECT 1")
+    monkeypatch.setitem(bench.REGISTRY, name, spec)
 
     clock = {"now": 0.0}
     sd = iter(spark_deltas)
@@ -400,9 +405,9 @@ def _fake_paired_harness(monkeypatch, spark_deltas, duck_deltas, n_warm=1):
     monkeypatch.setattr(bench.time, "perf_counter", fake_counter)
     monkeypatch.setattr(bench, "_guarded_run", fake_guarded)
     out = bench.time_paired(
-        {"fake_q": spec}, spark=None, data_dir="/nowhere", con=None,
-        skipped=[], n_reps=len(duck_deltas), steady_k=3, n_warm=n_warm,
-        bench_variant=False,
+        {name: spec}, spark=None, data_dir="/nowhere", con=None,
+        skipped=[], n_reps=n_reps or len(duck_deltas), steady_k=3,
+        n_warm=n_warm, bench_variant=False,
     )
     return out, log
 
@@ -452,6 +457,70 @@ def test_time_paired_one_sided_storm_moves_only_its_rep(monkeypatch):
     assert ratio_t["fake_q"] == 1.0
 
 
+def test_time_paired_storm_exposed_row_gets_extra_reps(monkeypatch):
+    """STORM_EXPOSED_ROWS (round 12): on a calm box the four storm-exposed
+    near-bar rows take n_reps + EXTRA_STORM_REPS alternating reps — the
+    SAME count on both engines of the quotient (the code-review-r9
+    symmetry rule holds per row, inside one loop)."""
+    monkeypatch.setitem(bench._DRIFT, "v", 1.0)
+    name = "docs_word_freq_top20"
+    assert name in bench.STORM_EXPOSED_ROWS
+    (_, sreps, _, dreps, _, rreps), log = _fake_paired_harness(
+        monkeypatch,
+        spark_deltas=[0.5] * 7,
+        duck_deltas=[0.5] * 7,
+        name=name,
+        n_reps=5,
+    )
+    assert len(sreps[name]) == 5 + bench.EXTRA_STORM_REPS
+    assert len(dreps[name]) == len(sreps[name])  # symmetric counts
+    # strict alternation holds across the extra reps too (warm S, warm D,
+    # then S D x 7)
+    assert log == ["S", "D"] + ["S", "D"] * 7
+
+
+def test_time_paired_storm_extra_reps_recover_midrun_storm(monkeypatch):
+    """The motivating failure (bench run B this round): a one-sided 3-rep
+    storm at 5 reps contaminates every steady-3 window (best window still
+    held one storm rep -> graded 2.134 on a ~1.2 plan). With the +2 extra
+    reps the trailing calm pair restores a clean window and the grade is
+    the plan's."""
+    monkeypatch.setitem(bench._DRIFT, "v", 1.0)
+    # q1, not the knn rows: the fake spec's "SELECT 1" oracle has no
+    # query-vector hoist marker, which _hoist_qvec demands for QVEC_HOIST
+    # rows — the extra-rep path under test is name-keyed identically.
+    name = "q1_pricing_summary"
+    (_, _, _, _, ratio_t, rreps), _ = _fake_paired_harness(
+        monkeypatch,
+        # reps 2-4 are a one-sided spark storm; reps 5-7 calm again
+        spark_deltas=[0.6, 2.4, 3.6, 1.8, 0.6, 0.6, 0.6],
+        duck_deltas=[0.5] * 7,
+        name=name,
+        n_reps=5,
+    )
+    assert rreps[name] == [1.2, 4.8, 7.2, 3.6, 1.2, 1.2, 1.2]
+    # steady-3 over the last three calm quotients
+    assert ratio_t[name] == 1.2
+
+
+def test_time_paired_drift_gate_drops_storm_extras(monkeypatch):
+    """On a degraded box (sentinel >= DRIFT_GATE) the extras vanish with
+    the same gate that drops the fast tier 5 -> 3: budget beats
+    robustness when the box is already dying."""
+    monkeypatch.setitem(bench._DRIFT, "v", bench.DRIFT_GATE)
+    assert bench.storm_extra_reps() == 0
+    name = "q1_pricing_summary"
+    (_, sreps, _, dreps, _, _), _ = _fake_paired_harness(
+        monkeypatch,
+        spark_deltas=[0.5] * 3,
+        duck_deltas=[0.5] * 3,
+        name=name,
+        n_reps=3,
+    )
+    assert len(sreps[name]) == 3
+    assert len(dreps[name]) == 3
+
+
 def test_time_paired_real_query_end_to_end(spark):
     """Plumbing smoke on real data: q1 at sf0.001 through a real DuckDB
     connection (incl. the q_vec setup in _duck_connect). Uses the shared
@@ -466,7 +535,9 @@ def test_time_paired_real_query_end_to_end(spark):
     con.close()
     assert spark_t["q1_pricing_summary"] > 0
     assert duck_t["q1_pricing_summary"] > 0
-    assert len(rreps["q1_pricing_summary"]) == 3
+    # q1 is in STORM_EXPOSED_ROWS, so the base 3 reps gain the live
+    # gate's extras (2 on a calm box, 0 past the drift gate)
+    assert len(rreps["q1_pricing_summary"]) == 3 + bench.storm_extra_reps()
     assert ratio_t["q1_pricing_summary"] > 0
 
 
